@@ -1,0 +1,175 @@
+"""Static-shape segment (group) operations — the TPU replacement for
+torch_scatter / torch.unique.
+
+The reference framework leans on ``torch.unique(coors, return_inverse=True)``
+followed by ``torch_scatter.scatter_{max,mean,sum}`` in dozens of places
+(reference: projects/mmdet3d_plugin/ops/sst_ops.py:150-177 ``scatter_v2``).
+Both produce data-dependent shapes, which XLA cannot compile. Here every
+group-by is expressed against a *static capacity*:
+
+  * ``unique_segments(keys, valid, capacity)`` sorts the (masked) keys once and
+    assigns each element a compact segment id in ``[0, capacity)``; invalid
+    elements and overflow segments map to a trash segment at index
+    ``capacity`` so downstream reduces can simply allocate ``capacity + 1``
+    rows and drop the last.
+  * ``segment_{sum,mean,max,min}`` are thin wrappers over
+    ``jax.ops.segment_*`` with empty-segment fix-ups.
+  * ``ingroup_indices`` reproduces TorchEx's ``ingroup_indices`` CUDA op
+    (reference: ops/sst_ops.py:239-259) via sort + offset arithmetic.
+
+All functions are jit-safe and differentiable where it matters (reduces are;
+index computation is integer-valued and naturally non-differentiable).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+# Sentinel for "no key" — sorts to the end.
+INVALID_KEY = jnp.iinfo(jnp.int32).max
+
+
+@struct.dataclass
+class SegmentInfo:
+    """Result of a static-capacity group-by.
+
+    Attributes:
+      seg_id: [N] int32 — compact segment id per element; ``capacity`` (the
+        trash segment) for invalid/overflowed elements.
+      unique_keys: [capacity] int32 — the key of each segment (INVALID_KEY for
+        unused slots).
+      counts: [capacity] int32 — number of elements in each segment.
+      num_segments: [] int32 — number of distinct valid keys encountered
+        (may exceed ``capacity``; compare to detect overflow).
+      seg_valid: [capacity] bool — True for slots that hold a real segment.
+    """
+
+    seg_id: jax.Array
+    unique_keys: jax.Array
+    counts: jax.Array
+    num_segments: jax.Array
+    seg_valid: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.unique_keys.shape[0]
+
+
+def unique_segments(keys: jax.Array, valid: jax.Array, capacity: int) -> SegmentInfo:
+    """Compact group-by over int32 keys with a static segment capacity.
+
+    Equivalent to ``torch.unique(keys[valid], return_inverse=True,
+    return_counts=True)`` but with fixed output shapes. Segment ids are
+    assigned in ascending key order (same as torch.unique's sorted output),
+    so parity tests against the reference semantics are exact.
+    """
+    n = keys.shape[0]
+    keys = keys.astype(jnp.int32)
+    masked = jnp.where(valid, keys, INVALID_KEY)
+    order = jnp.argsort(masked, stable=True)
+    ks = masked[order]
+    is_valid_sorted = ks != INVALID_KEY
+    first = jnp.concatenate([ks[:1] != INVALID_KEY, (ks[1:] != ks[:-1]) & (ks[1:] != INVALID_KEY)])
+    # rank of each sorted element's segment: 0-based
+    ranks = jnp.cumsum(first.astype(jnp.int32)) - 1
+    num_segments = jnp.sum(first.astype(jnp.int32))
+    # overflow / invalid → trash segment `capacity`
+    seg_sorted = jnp.where(is_valid_sorted & (ranks < capacity), ranks, capacity)
+    seg_id = jnp.zeros((n,), jnp.int32).at[order].set(seg_sorted)
+    unique_keys = (
+        jnp.full((capacity + 1,), INVALID_KEY, jnp.int32).at[seg_sorted].set(ks)[:capacity]
+    )
+    counts = jax.ops.segment_sum(
+        jnp.ones((n,), jnp.int32), seg_id, num_segments=capacity + 1
+    )[:capacity]
+    seg_valid = unique_keys != INVALID_KEY
+    return SegmentInfo(
+        seg_id=seg_id,
+        unique_keys=unique_keys,
+        counts=counts,
+        num_segments=num_segments,
+        seg_valid=seg_valid,
+    )
+
+
+def _num_rows(seg: SegmentInfo) -> int:
+    return seg.capacity + 1
+
+
+def segment_sum(feat: jax.Array, seg_id: jax.Array, capacity: int) -> jax.Array:
+    """Sum-reduce rows of ``feat`` by segment id; returns [capacity, ...]."""
+    out = jax.ops.segment_sum(feat, seg_id, num_segments=capacity + 1)
+    return out[:capacity]
+
+
+def segment_mean(
+    feat: jax.Array, seg_id: jax.Array, capacity: int, counts: Optional[jax.Array] = None
+) -> jax.Array:
+    """Mean-reduce rows of ``feat`` by segment id (empty segments → 0)."""
+    s = jax.ops.segment_sum(feat, seg_id, num_segments=capacity + 1)[:capacity]
+    if counts is None:
+        ones = jnp.ones((feat.shape[0],), feat.dtype)
+        counts = jax.ops.segment_sum(ones, seg_id, num_segments=capacity + 1)[:capacity]
+    denom = jnp.maximum(counts.astype(feat.dtype), 1)
+    return s / denom.reshape((-1,) + (1,) * (feat.ndim - 1))
+
+
+def segment_max(
+    feat: jax.Array, seg_id: jax.Array, capacity: int, empty_value: float = 0.0
+) -> jax.Array:
+    """Max-reduce rows of ``feat`` by segment id (empty segments → empty_value).
+
+    torch_scatter.scatter_max leaves empty rows at 0 when sizes come from
+    unique counts (they never occur); we make the empty fill explicit.
+    """
+    out = jax.ops.segment_max(feat, seg_id, num_segments=capacity + 1)[:capacity]
+    ones = jnp.ones((feat.shape[0],), jnp.int32)
+    counts = jax.ops.segment_sum(ones, seg_id, num_segments=capacity + 1)[:capacity]
+    nonempty = (counts > 0).reshape((-1,) + (1,) * (feat.ndim - 1))
+    return jnp.where(nonempty, out, jnp.asarray(empty_value, feat.dtype))
+
+
+def segment_min(
+    feat: jax.Array, seg_id: jax.Array, capacity: int, empty_value: float = 0.0
+) -> jax.Array:
+    out = jax.ops.segment_min(feat, seg_id, num_segments=capacity + 1)[:capacity]
+    ones = jnp.ones((feat.shape[0],), jnp.int32)
+    counts = jax.ops.segment_sum(ones, seg_id, num_segments=capacity + 1)[:capacity]
+    nonempty = (counts > 0).reshape((-1,) + (1,) * (feat.ndim - 1))
+    return jnp.where(nonempty, out, jnp.asarray(empty_value, feat.dtype))
+
+
+def apply_segments(fn, feat: jax.Array, seg: SegmentInfo):
+    """Convenience: fn in {'sum','mean','max','avg'} applied over a SegmentInfo."""
+    if fn in ("mean", "avg"):
+        return segment_mean(feat, seg.seg_id, seg.capacity, counts=seg.counts)
+    if fn == "sum":
+        return segment_sum(feat, seg.seg_id, seg.capacity)
+    if fn == "max":
+        return segment_max(feat, seg.seg_id, seg.capacity)
+    raise ValueError(f"unknown reduce mode {fn!r}")
+
+
+def ingroup_indices(group_ids: jax.Array, valid: jax.Array) -> jax.Array:
+    """Per-element running index within its group (0..k-1), any group order.
+
+    TPU-native version of TorchEx ``ingroup_indices`` (reference:
+    ops/sst_ops.py:239-259; pure-torch algorithm documented at :190-237).
+    Sort by group id (stable), subtract each group's start offset, then
+    scatter back to original order. Invalid elements get -1.
+    """
+    n = group_ids.shape[0]
+    masked = jnp.where(valid, group_ids.astype(jnp.int32), INVALID_KEY)
+    order = jnp.argsort(masked, stable=True)
+    gs = masked[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), gs[1:] != gs[:-1]])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # start position of each sorted element's group
+    start = jnp.where(first, pos, 0)
+    start = jax.lax.associative_scan(jnp.maximum, start)
+    inner_sorted = pos - start
+    inner = jnp.zeros((n,), jnp.int32).at[order].set(inner_sorted)
+    return jnp.where(valid, inner, -1)

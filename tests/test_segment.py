@@ -1,0 +1,95 @@
+"""Oracle tests for segment ops against NumPy (SURVEY.md §4: every kernel gets
+a dense/NumPy oracle)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fullysparsefusion_tpu.ops import (
+    INVALID_KEY,
+    unique_segments,
+    segment_sum,
+    segment_mean,
+    segment_max,
+    ingroup_indices,
+)
+
+
+def _np_unique_ref(keys, valid):
+    """torch.unique(return_inverse=True, return_counts=True) semantics."""
+    vk = keys[valid]
+    uniq, inv, counts = np.unique(vk, return_inverse=True, return_counts=True)
+    return uniq, inv, counts
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_unique_segments_matches_numpy(seed):
+    rng = np.random.default_rng(seed)
+    n, cap = 257, 64
+    keys = rng.integers(0, 40, size=n).astype(np.int32)
+    valid = rng.random(n) > 0.2
+    seg = unique_segments(jnp.asarray(keys), jnp.asarray(valid), cap)
+
+    uniq, inv, counts = _np_unique_ref(keys, valid)
+    k = len(uniq)
+    assert int(seg.num_segments) == k
+    np.testing.assert_array_equal(np.asarray(seg.unique_keys[:k]), uniq)
+    assert np.all(np.asarray(seg.unique_keys[k:]) == INVALID_KEY)
+    np.testing.assert_array_equal(np.asarray(seg.counts[:k]), counts)
+    # per-point inverse mapping matches (valid points only)
+    got_inv = np.asarray(seg.seg_id)[valid]
+    np.testing.assert_array_equal(got_inv, inv)
+    # invalid points land in the trash segment
+    assert np.all(np.asarray(seg.seg_id)[~valid] == cap)
+
+
+def test_unique_segments_overflow_goes_to_trash():
+    keys = jnp.arange(100, dtype=jnp.int32)
+    valid = jnp.ones(100, bool)
+    seg = unique_segments(keys, valid, 32)
+    assert int(seg.num_segments) == 100
+    sid = np.asarray(seg.seg_id)
+    assert np.all(sid[:32] == np.arange(32))
+    assert np.all(sid[32:] == 32)  # overflow dropped to trash
+
+
+@pytest.mark.parametrize("mode", ["sum", "mean", "max"])
+def test_segment_reduce_oracle(mode):
+    rng = np.random.default_rng(3)
+    n, cap, c = 500, 48, 7
+    keys = rng.integers(0, 30, size=n).astype(np.int32)
+    valid = rng.random(n) > 0.1
+    feat = rng.normal(size=(n, c)).astype(np.float32)
+    seg = unique_segments(jnp.asarray(keys), jnp.asarray(valid), cap)
+
+    if mode == "sum":
+        got = segment_sum(jnp.asarray(feat), seg.seg_id, cap)
+    elif mode == "mean":
+        got = segment_mean(jnp.asarray(feat), seg.seg_id, cap, counts=seg.counts)
+    else:
+        got = segment_max(jnp.asarray(feat), seg.seg_id, cap)
+    got = np.asarray(got)
+
+    uniq = np.unique(keys[valid])
+    for i, u in enumerate(uniq):
+        rows = feat[valid & (keys == u)]
+        ref = {"sum": rows.sum(0), "mean": rows.mean(0), "max": rows.max(0)}[mode]
+        np.testing.assert_allclose(got[i], ref, rtol=1e-5, atol=1e-5)
+    # unused capacity rows are zero-filled
+    np.testing.assert_array_equal(got[len(uniq):], 0.0)
+
+
+def test_ingroup_indices_oracle():
+    rng = np.random.default_rng(4)
+    n = 300
+    gids = rng.integers(0, 25, size=n).astype(np.int32)
+    valid = rng.random(n) > 0.15
+    got = np.asarray(ingroup_indices(jnp.asarray(gids), jnp.asarray(valid)))
+
+    # reference semantics (ops/sst_ops.py:190-237): within each group, indices
+    # are a permutation of 0..k-1; stable sort means first-occurrence order.
+    assert np.all(got[~valid] == -1)
+    for g in np.unique(gids[valid]):
+        vals = got[valid & (gids == g)]
+        np.testing.assert_array_equal(np.sort(vals), np.arange(len(vals)))
+        # stable: occurrence order preserved
+        np.testing.assert_array_equal(vals, np.arange(len(vals)))
