@@ -1,0 +1,144 @@
+"""CCL oracle = pure-python union-find; NMS oracle = greedy numpy loop."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fullysparsefusion_tpu.ops.ccl import connected_components_bev
+from fullysparsefusion_tpu.ops.nms import nms_bev_mask, multiclass_nms_bev
+from fullysparsefusion_tpu.core.coders import BasePointBBoxCoder
+
+
+def _uf_components(xy, batch, valid, dist):
+    n = len(xy)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if not (valid[i] and valid[j]) or batch[i] != batch[j]:
+                continue
+            if np.hypot(*(xy[i, :2] - xy[j, :2])) < dist:
+                parent[find(i)] = find(j)
+    roots, labels, seen = {}, np.full(n, -1), 0
+    for i in range(n):
+        if not valid[i]:
+            continue
+        r = find(i)
+        if r not in roots:
+            roots[r] = seen
+            seen += 1
+        labels[i] = roots[r]
+    return labels
+
+
+@pytest.mark.parametrize("seed", [0, 1, 5])
+def test_ccl_matches_union_find(seed):
+    rng = np.random.default_rng(seed)
+    n = 120
+    xy = rng.uniform(0, 20, size=(n, 2)).astype(np.float32)
+    batch = rng.integers(0, 3, size=n).astype(np.int32)
+    valid = rng.random(n) > 0.1
+    got = np.asarray(
+        connected_components_bev(jnp.asarray(xy), jnp.asarray(batch), jnp.asarray(valid), 1.5)
+    )
+    ref = _uf_components(xy, batch, valid, 1.5)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_ccl_chain():
+    # a long chain must fully merge (tests pointer-jumping convergence)
+    n = 64
+    xy = np.stack([np.arange(n) * 0.9, np.zeros(n)], 1).astype(np.float32)
+    got = np.asarray(
+        connected_components_bev(
+            jnp.asarray(xy), jnp.zeros(n, jnp.int32), jnp.ones(n, bool), 1.0
+        )
+    )
+    assert np.all(got == 0)
+
+
+def _np_nms(boxes, scores, valid, thr, iou_fn):
+    order = np.argsort(-np.where(valid, scores, -np.inf), kind="stable")
+    keep, suppressed = [], np.zeros(len(boxes), bool)
+    for i in order:
+        if not valid[i] or suppressed[i]:
+            continue
+        keep.append(i)
+        ious = iou_fn(boxes[i : i + 1], boxes)[0]
+        suppressed |= ious > thr
+        suppressed[i] = False
+    mask = np.zeros(len(boxes), bool)
+    mask[keep] = True
+    return mask
+
+
+def test_nms_oracle():
+    from fullysparsefusion_tpu.ops.geometry import boxes_iou_bev
+
+    rng = np.random.default_rng(3)
+    n = 40
+    boxes = np.stack(
+        [
+            rng.uniform(-10, 10, n), rng.uniform(-10, 10, n), np.zeros(n),
+            rng.uniform(1, 4, n), rng.uniform(1, 4, n), np.ones(n),
+            rng.uniform(-np.pi, np.pi, n),
+        ],
+        1,
+    ).astype(np.float32)
+    scores = rng.random(n).astype(np.float32)
+    valid = rng.random(n) > 0.1
+    got = np.asarray(nms_bev_mask(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.2))
+    iou_fn = lambda a, b: np.asarray(boxes_iou_bev(jnp.asarray(a), jnp.asarray(b)))
+    ref = _np_nms(boxes, scores, valid, 0.2, iou_fn)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_multiclass_nms_shapes_and_classes():
+    boxes = jnp.asarray(
+        [
+            [0, 0, 0, 2, 2, 2, 0.0],
+            [0.1, 0, 0, 2, 2, 2, 0.0],   # overlaps box 0, same class → suppressed
+            [0.1, 0, 0, 2, 2, 2, 0.0],   # overlaps box 0, other class → kept
+            [50, 50, 0, 2, 2, 2, 0.0],
+        ],
+        jnp.float32,
+    )
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.01])
+    labels = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    out = multiclass_nms_bev(
+        boxes, scores, labels, jnp.ones(4, bool),
+        num_classes=2, iou_thr=0.3, score_thr=0.05, max_num=3,
+    )
+    v = np.asarray(out.valid)
+    assert v.sum() == 2  # box1 nms'd, box3 below score_thr
+    kept_scores = sorted(np.asarray(out.scores)[v].tolist(), reverse=True)
+    np.testing.assert_allclose(kept_scores, [0.9, 0.7], atol=1e-6)
+    assert set(np.asarray(out.labels)[v].tolist()) == {0, 1}
+
+
+def test_bbox_coder_roundtrip():
+    rng = np.random.default_rng(0)
+    n = 50
+    boxes = np.stack(
+        [
+            rng.uniform(-10, 10, n), rng.uniform(-10, 10, n), rng.uniform(-3, 1, n),
+            rng.uniform(0.5, 5, n), rng.uniform(0.5, 5, n), rng.uniform(0.5, 3, n),
+            rng.uniform(-np.pi, np.pi, n),
+            rng.normal(size=n), rng.normal(size=n),
+        ],
+        1,
+    ).astype(np.float32)
+    base = rng.uniform(-10, 10, size=(n, 3)).astype(np.float32)
+    coder = BasePointBBoxCoder(code_size=10)
+    enc = coder.encode(jnp.asarray(boxes), jnp.asarray(base))
+    dec = np.asarray(coder.decode(enc, jnp.asarray(base)))
+    np.testing.assert_allclose(dec[:, :6], boxes[:, :6], atol=1e-4)
+    # yaw reconstructed mod 2π
+    dy = np.angle(np.exp(1j * (dec[:, 6] - boxes[:, 6])))
+    np.testing.assert_allclose(dy, 0, atol=1e-4)
+    np.testing.assert_allclose(dec[:, 7:9], boxes[:, 7:9], atol=1e-5)
