@@ -1,0 +1,169 @@
+"""Sparse 3D UNet — the segmentor backbone (reference 'SimpleSparseUNet',
+config FSF_nuScenes_config.py:58-70; spconv encoder/decoder over sparse_shape
+[40,512,512], channels 64→128→128→256→512 down and back to 128).
+
+Encoder: stage 0 is submanifold-only; stages 1..S each start with a strided
+(stride-2) sparse conv that generates a coarser active set, followed by
+submanifold convs. Decoder: from the deepest stage upward, merge with the
+encoder skip (concat + submanifold convs) then inverse-conv back onto the
+next-finer active set recorded on the way down. Every conv is
+conv→masked-BN→ReLU (order=('conv','norm','act') in the reference config).
+
+Static capacities per stage bound the active sets; callers size them from the
+dataset (SURVEY.md §7 "static-capacity bucketing").
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.sparse_conv import (
+    SparseTensor,
+    subm_conv3d,
+    sparse_conv3d,
+    sparse_inverse_conv3d,
+)
+from .layers import MaskedBatchNorm
+
+
+class _SubMBlock(nn.Module):
+    out_channels: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
+        k3 = self.kernel_size[0] * self.kernel_size[1] * self.kernel_size[2]
+        cin = st.feats.shape[-1]
+        w = self.param(
+            "w",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (k3, cin, self.out_channels),
+        )
+        y = subm_conv3d(st, w, None, self.kernel_size)
+        y = MaskedBatchNorm()(y, st.valid, train)
+        y = nn.relu(y) * st.valid[:, None].astype(y.dtype)
+        return st.replace(feats=y)
+
+
+class _DownBlock(nn.Module):
+    out_channels: int
+    padding: Tuple[int, int, int]
+    out_capacity: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (2, 2, 2)
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
+        k3 = self.kernel_size[0] * self.kernel_size[1] * self.kernel_size[2]
+        cin = st.feats.shape[-1]
+        w = self.param(
+            "w",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (k3, cin, self.out_channels),
+        )
+        out = sparse_conv3d(
+            st, w, None, self.kernel_size, self.stride, self.padding, self.out_capacity
+        )
+        y = MaskedBatchNorm()(out.feats, out.valid, train)
+        y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
+        return out.replace(feats=y)
+
+
+class _UpBlock(nn.Module):
+    out_channels: int
+    padding: Tuple[int, int, int]
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (2, 2, 2)
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, target: SparseTensor, train: bool) -> SparseTensor:
+        k3 = self.kernel_size[0] * self.kernel_size[1] * self.kernel_size[2]
+        cin = st.feats.shape[-1]
+        w = self.param(
+            "w",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (k3, cin, self.out_channels),
+        )
+        out = sparse_inverse_conv3d(
+            st,
+            target.coords,
+            target.batch,
+            target.valid,
+            target.dims,
+            w,
+            None,
+            self.kernel_size,
+            self.stride,
+            self.padding,
+        )
+        y = MaskedBatchNorm()(out.feats, out.valid, train)
+        y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
+        return out.replace(feats=y)
+
+
+class SparseUNet(nn.Module):
+    """Encoder-decoder sparse UNet returning features on the input active set.
+
+    encoder_channels[i] lists the conv widths of stage i; stage 0 convs are
+    all submanifold, stages ≥1 begin with the strided conv. decoder_channels
+    give the merge-conv widths per decoder stage (deepest first); the last
+    entry of each decoder stage is the inverse-conv (upsample) width.
+    """
+
+    base_channels: int = 64
+    output_channels: int = 128
+    encoder_channels: Sequence[Sequence[int]] = (
+        (128,), (128, 128, 128), (128, 128, 128), (256, 256, 256), (512, 512, 512)
+    )
+    encoder_strided_paddings: Sequence[Tuple[int, int, int]] = (
+        (1, 1, 1), (1, 1, 1), (1, 1, 0), (1, 1, 1)
+    )  # (x,y,z) padding of each stage's strided conv (stages 1..S)
+    decoder_channels: Sequence[Sequence[int]] = (
+        (512, 512, 256), (256, 256, 128), (128, 128, 128), (128, 128, 128)
+    )
+    stage_capacity_divisors: Sequence[int] = (1, 1, 2, 4, 8)
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool = False) -> jax.Array:
+        cap0 = st.capacity
+        st = _SubMBlock(self.base_channels, name="conv_input")(st, train)
+
+        skips = []
+        n_stages = len(self.encoder_channels)
+        for i, widths in enumerate(self.encoder_channels):
+            for j, c in enumerate(widths):
+                if i > 0 and j == 0:
+                    out_cap = max(128, cap0 // self.stage_capacity_divisors[i])
+                    st = _DownBlock(
+                        c,
+                        padding=tuple(self.encoder_strided_paddings[i - 1]),
+                        out_capacity=out_cap,
+                        name=f"enc{i}_down",
+                    )(st, train)
+                else:
+                    st = _SubMBlock(c, name=f"enc{i}_subm{j}")(st, train)
+            skips.append(st)
+
+        x = skips[-1]
+        for d in range(n_stages - 1):
+            enc_stage = n_stages - 1 - d          # current (deep) stage index
+            target = skips[enc_stage - 1]          # next finer active set
+            widths = self.decoder_channels[d]
+            skip = skips[enc_stage]
+            merged = x.replace(feats=jnp.concatenate([x.feats, skip.feats], axis=1))
+            y = merged
+            for j, c in enumerate(widths[:-1]):
+                y = _SubMBlock(c, name=f"dec{d}_subm{j}")(y, train)
+            x = _UpBlock(
+                widths[-1],
+                padding=tuple(self.encoder_strided_paddings[enc_stage - 1]),
+                name=f"dec{d}_up",
+            )(y, target, train)
+
+        # final merge with stage-0 skip and projection to output_channels
+        merged = x.replace(feats=jnp.concatenate([x.feats, skips[0].feats], axis=1))
+        out = _SubMBlock(self.output_channels, name="conv_out")(merged, train)
+        return out.feats  # [cap0, output_channels], aligned with input rows

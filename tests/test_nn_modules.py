@@ -1,0 +1,138 @@
+"""Shape/invariance tests for VFE, SIR, and the sparse UNet."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fullysparsefusion_tpu.ops.segment import unique_segments
+from fullysparsefusion_tpu.ops.sparse_conv import SparseTensor
+from fullysparsefusion_tpu.models.vfe import DynamicScatterVFE, SIRLayer
+from fullysparsefusion_tpu.models.sir import SIR
+from fullysparsefusion_tpu.models.sparse_unet import SparseUNet
+
+
+def _points(seed=0, n=200, d=5):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-5, 5, size=(n, d)).astype(np.float32)
+    keys = rng.integers(0, 40, size=n).astype(np.int32)
+    valid = rng.random(n) > 0.1
+    return jnp.asarray(pts), jnp.asarray(keys), jnp.asarray(valid)
+
+
+def test_vfe_shapes_and_padding_invariance():
+    pts, keys, valid = _points()
+    cap = 64
+    seg = unique_segments(keys, valid, cap)
+    vox_coords = jnp.zeros((cap, 3), jnp.int32)
+    m = DynamicScatterVFE(feat_channels=(16, 16))
+    vars_ = m.init(jax.random.key(0), pts, seg, vox_coords, valid, False)
+    out = m.apply(vars_, pts, seg, vox_coords, valid, False)
+    assert out.shape == (cap, 16)
+
+    # changing feature values of INVALID points must not change the output
+    pts2 = jnp.where(valid[:, None], pts, pts + 100.0)
+    out2 = m.apply(vars_, pts2, seg, vox_coords, valid, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_vfe_train_updates_bn_stats():
+    pts, keys, valid = _points(1)
+    seg = unique_segments(keys, valid, 64)
+    vox_coords = jnp.zeros((64, 3), jnp.int32)
+    m = DynamicScatterVFE(feat_channels=(8, 8))
+    vars_ = m.init(jax.random.key(0), pts, seg, vox_coords, valid, True)
+    out, updates = m.apply(
+        vars_, pts, seg, vox_coords, valid, True, mutable=["batch_stats"]
+    )
+    before = jax.tree_util.tree_leaves(vars_["batch_stats"])
+    after = jax.tree_util.tree_leaves(updates["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_sir_output_dims_and_invariance():
+    pts, keys, valid = _points(2, n=150, d=5)
+    cap = 48
+    seg = unique_segments(keys, valid, cap)
+    feats = jnp.ones((150, 32))
+    f_cluster = jnp.zeros((150, 3))
+    m = SIR(num_blocks=3, feat_channels=((64, 64),) * 3, rel_mlp_hidden_dims=((8, 16),) * 3)
+    vars_ = m.init(jax.random.key(0), pts, feats, f_cluster, seg, valid, False)
+    pf, cf = m.apply(vars_, pts, feats, f_cluster, seg, valid, False)
+    assert pf.shape == (150, 64)
+    assert cf.shape == (cap, 3 * 128)  # 3 blocks × (64+64)
+    # invalid point features don't leak into cluster feats
+    feats2 = jnp.where(valid[:, None], feats, 99.0)
+    _, cf2 = m.apply(vars_, pts, feats2, f_cluster, seg, valid, False)
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(cf2), atol=1e-5)
+
+
+def _toy_sparse(seed=0, cap=256, cin=8, dims=(16, 16, 8), n=100, bs=2):
+    rng = np.random.default_rng(seed)
+    coords, batch = [], []
+    for bi in range(bs):
+        lin = rng.choice(dims[0] * dims[1] * dims[2], size=n, replace=False)
+        coords.append(
+            np.stack([lin % dims[0], (lin // dims[0]) % dims[1], lin // (dims[0] * dims[1])], 1)
+        )
+        batch.append(np.full(n, bi))
+    coords = np.concatenate(coords).astype(np.int32)
+    batch = np.concatenate(batch).astype(np.int32)
+    ntot = len(coords)
+    feats = rng.normal(size=(ntot, cin)).astype(np.float32)
+    pad = cap - ntot
+    return SparseTensor(
+        feats=jnp.asarray(np.concatenate([feats, np.zeros((pad, cin), np.float32)])),
+        coords=jnp.asarray(np.concatenate([coords, np.zeros((pad, 3), np.int32)])),
+        batch=jnp.asarray(np.concatenate([batch, np.zeros(pad, np.int32)])),
+        valid=jnp.asarray(np.concatenate([np.ones(ntot, bool), np.zeros(pad, bool)])),
+        dims=dims,
+    ), ntot
+
+
+def test_sparse_unet_runs_and_aligns():
+    st, ntot = _toy_sparse()
+    m = SparseUNet(
+        base_channels=8,
+        output_channels=16,
+        encoder_channels=((8,), (16, 16), (32, 32)),
+        encoder_strided_paddings=((1, 1, 1), (1, 1, 1)),
+        decoder_channels=((32, 16), (16, 16)),
+        stage_capacity_divisors=(1, 1, 2),
+    )
+    vars_ = m.init(jax.random.key(0), st, False)
+    out = m.apply(vars_, st, False)
+    assert out.shape == (st.capacity, 16)
+    got = np.asarray(out)
+    assert np.all(np.isfinite(got))
+    # padded rows produce zeros
+    np.testing.assert_array_equal(got[ntot:], 0.0)
+    # valid rows see real features
+    assert np.abs(got[:ntot]).sum() > 0
+
+    # padding invariance: garbage in invalid rows doesn't change valid outputs
+    st2 = st.replace(feats=jnp.where(st.valid[:, None], st.feats, 123.0))
+    out2 = np.asarray(m.apply(vars_, st2, False))
+    np.testing.assert_allclose(got[:ntot], out2[:ntot], atol=1e-4)
+
+
+def test_sparse_unet_jit_and_grad():
+    st, ntot = _toy_sparse(1)
+    m = SparseUNet(
+        base_channels=8,
+        output_channels=8,
+        encoder_channels=((8,), (16, 16)),
+        encoder_strided_paddings=((1, 1, 1),),
+        decoder_channels=((16, 8),),
+        stage_capacity_divisors=(1, 1),
+    )
+    vars_ = m.init(jax.random.key(0), st, False)
+
+    @jax.jit
+    def loss_fn(params):
+        out = m.apply({"params": params, "batch_stats": vars_["batch_stats"]}, st, False)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss_fn)(vars_["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(l)) for l in leaves)
+    assert any(np.abs(l).sum() > 0 for l in leaves)

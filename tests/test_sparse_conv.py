@@ -1,0 +1,155 @@
+"""Sparse conv vs dense NumPy-loop conv oracle on tiny grids (SURVEY.md §4:
+sparse conv validated against dense conv)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fullysparsefusion_tpu.ops.sparse_conv import (
+    SparseTensor,
+    subm_conv3d,
+    sparse_conv3d,
+    sparse_inverse_conv3d,
+    downsample_coords,
+    conv_out_dim,
+)
+
+DIMS = (6, 6, 5)
+
+
+def _dense_conv(dense, w, b, k, s, p):
+    """out[y] = sum_k in[y*s - p + k] @ w[k]; dense [nx,ny,nz,Cin]."""
+    nx, ny, nz, cin = dense.shape
+    cout = w.shape[-1]
+    od = tuple(conv_out_dim(n, kk, ss, pp) for n, kk, ss, pp in zip((nx, ny, nz), k, s, p))
+    out = np.zeros(od + (cout,), np.float32)
+    for ox in range(od[0]):
+        for oy in range(od[1]):
+            for oz in range(od[2]):
+                acc = np.zeros(cout, np.float32)
+                ki = 0
+                for kz in range(k[2]):
+                    for ky in range(k[1]):
+                        for kx in range(k[0]):
+                            ix = ox * s[0] - p[0] + kx
+                            iy = oy * s[1] - p[1] + ky
+                            iz = oz * s[2] - p[2] + kz
+                            if 0 <= ix < nx and 0 <= iy < ny and 0 <= iz < nz:
+                                acc += dense[ix, iy, iz] @ w[kz * k[1] * k[0] + ky * k[0] + kx]
+                            ki += 1
+                out[ox, oy, oz] = acc + (b if b is not None else 0)
+    return out
+
+
+def _make_sparse(seed, cin=4, n_active=25, cap=64, batch_size=2):
+    rng = np.random.default_rng(seed)
+    # unique coords per batch element
+    all_coords, all_batch = [], []
+    for bi in range(batch_size):
+        lin = rng.choice(DIMS[0] * DIMS[1] * DIMS[2], size=n_active, replace=False)
+        c = np.stack([lin % DIMS[0], (lin // DIMS[0]) % DIMS[1], lin // (DIMS[0] * DIMS[1])], 1)
+        all_coords.append(c)
+        all_batch.append(np.full(n_active, bi))
+    coords = np.concatenate(all_coords).astype(np.int32)
+    batch = np.concatenate(all_batch).astype(np.int32)
+    n = len(coords)
+    feats = rng.normal(size=(n, cin)).astype(np.float32)
+    pad = cap - n
+    st = SparseTensor(
+        feats=jnp.asarray(np.concatenate([feats, np.zeros((pad, cin), np.float32)])),
+        coords=jnp.asarray(np.concatenate([coords, np.zeros((pad, 3), np.int32)])),
+        batch=jnp.asarray(np.concatenate([batch, np.zeros(pad, np.int32)])),
+        valid=jnp.asarray(np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])),
+        dims=DIMS,
+    )
+    denses = []
+    for bi in range(batch_size):
+        d = np.zeros(DIMS + (cin,), np.float32)
+        m = batch == bi
+        d[coords[m, 0], coords[m, 1], coords[m, 2]] = feats[m]
+        denses.append(d)
+    return st, denses, coords, batch, n
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_subm_conv_matches_dense(seed):
+    rng = np.random.default_rng(seed + 10)
+    cin, cout = 4, 6
+    st, denses, coords, batch, n = _make_sparse(seed, cin)
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+    b = rng.normal(size=cout).astype(np.float32)
+    got = np.asarray(subm_conv3d(st, jnp.asarray(w), jnp.asarray(b)))
+    for bi, dense in enumerate(denses):
+        ref = _dense_conv(dense, w, b, (3, 3, 3), (1, 1, 1), (1, 1, 1))
+        m = batch == bi
+        ref_vals = ref[coords[m, 0], coords[m, 1], coords[m, 2]]
+        np.testing.assert_allclose(got[:n][m], ref_vals, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(got[n:], 0.0)
+
+
+@pytest.mark.parametrize("padding", [(1, 1, 1), (0, 1, 1)])
+def test_strided_conv_matches_dense(padding):
+    rng = np.random.default_rng(42)
+    cin, cout = 4, 5
+    st, denses, coords, batch, n = _make_sparse(3, cin)
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+    b = rng.normal(size=cout).astype(np.float32)
+    out = sparse_conv3d(
+        st, jnp.asarray(w), jnp.asarray(b), (3, 3, 3), (2, 2, 2), padding, out_capacity=128
+    )
+    oc = np.asarray(out.coords)
+    ob = np.asarray(out.batch)
+    ov = np.asarray(out.valid)
+    of = np.asarray(out.feats)
+    refs = [_dense_conv(d, w, b, (3, 3, 3), (2, 2, 2), padding) for d in denses]
+    assert out.dims == refs[0].shape[:3]
+    # every active output matches dense; actives cover every nonzero dense site
+    for i in range(len(ov)):
+        if not ov[i]:
+            np.testing.assert_array_equal(of[i], 0.0)
+            continue
+        ref = refs[ob[i]][oc[i, 0], oc[i, 1], oc[i, 2]]
+        np.testing.assert_allclose(of[i], ref, rtol=1e-4, atol=1e-4)
+    for bi, ref in enumerate(refs):
+        nz = np.argwhere(np.abs(ref - b).sum(-1) > 1e-5)
+        active = {tuple(c) for c, bb, v in zip(oc, ob, ov) if v and bb == bi}
+        for site in nz:
+            assert tuple(site) in active, f"dense-active site {site} missing from sparse set"
+
+
+def test_inverse_conv_matches_dense_transpose():
+    rng = np.random.default_rng(7)
+    cin, cout = 3, 4
+    st, denses, coords, batch, n = _make_sparse(5, cin)
+    k, s, p = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+    # downsample to get a coarse set, random coarse feats
+    w_down = rng.normal(size=(27, cin, cin)).astype(np.float32) * 0.1
+    coarse = sparse_conv3d(st, jnp.asarray(w_down), None, k, s, p, out_capacity=96)
+    # inverse conv back onto the fine set
+    w_up = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+    up = sparse_inverse_conv3d(
+        coarse, st.coords, st.batch, st.valid, st.dims, jnp.asarray(w_up), None, k, s, p
+    )
+    # dense oracle: out[t] = sum_k coarse[(t+p-k)/s] @ w[k] (exact div)
+    cf = np.asarray(coarse.feats)
+    cc = np.asarray(coarse.coords)
+    cb = np.asarray(coarse.batch)
+    cv = np.asarray(coarse.valid)
+    dense_c = {}
+    for bi in range(2):
+        d = np.zeros(coarse.dims + (cin,), np.float32)
+        m = cv & (cb == bi)
+        d[cc[m, 0], cc[m, 1], cc[m, 2]] = cf[m]
+        dense_c[bi] = d
+    got = np.asarray(up.feats)
+    for i in range(n):
+        t = coords[i]
+        acc = np.zeros(cout, np.float32)
+        for kz in range(3):
+            for ky in range(3):
+                for kx in range(3):
+                    num = t + np.array(p) - np.array([kx, ky, kz])
+                    if np.all(num % np.array(s) == 0):
+                        y = num // np.array(s)
+                        if np.all(y >= 0) and np.all(y < np.array(coarse.dims)):
+                            acc += dense_c[batch[i]][y[0], y[1], y[2]] @ w_up[kz * 9 + ky * 3 + kx]
+        np.testing.assert_allclose(got[i], acc, rtol=1e-4, atol=1e-4)
