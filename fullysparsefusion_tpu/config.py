@@ -1,0 +1,188 @@
+"""Configuration dataclasses for the TPU-native FSF framework.
+
+These are the *native* config surface. A thin interpreter
+(``fullysparsefusion_tpu.config_compat``) maps the reference's mmcv config
+dicts (projects/configs/nuScenes/FSF_nuScenes_config.py et al.) onto these,
+so users of the reference can load their configs unchanged.
+
+The one concept with no reference counterpart is ``Capacities``: every
+data-dependent set (points, voxels, foreground, clusters, RoI points) gets a
+static capacity so XLA compiles a single program (SURVEY.md §7
+"static-capacity bucketing" — the TPU analog of the reference's dynamic
+shapes).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+NUSC_CLASS_NAMES = (
+    "car", "truck", "trailer", "bus", "construction_vehicle",
+    "bicycle", "motorcycle", "pedestrian", "traffic_cone", "barrier",
+)
+NUSC_GROUPS = (
+    ("car",),
+    ("truck", "construction_vehicle"),
+    ("bus", "trailer"),
+    ("barrier",),
+    ("motorcycle", "bicycle"),
+    ("pedestrian", "traffic_cone"),
+)
+
+
+@dataclass(frozen=True)
+class Capacities:
+    """Static capacities (per global batch unless noted)."""
+
+    points: int = 32768          # padded raw points
+    voxels: int = 16384          # segmentation-voxelization capacity
+    prevox: int = 16384          # 0.1 m pre-voxelization capacity
+    fg_per_group: int = 2048     # compacted foreground points per class-group
+    cluster_voxels_per_group: int = 1024  # clustering-voxel capacity per group
+    clusters: int = 512          # total cluster (query) capacity
+    max_gt: int = 128            # padded GT boxes per sample
+    # camera branch
+    frustum_points: int = 8192   # compacted in-mask foreground points
+    frustum_objects: int = 256   # camera-query capacity
+    # refinement
+    roi_points: int = 16384      # total pooled points across RoIs
+    max_roi_points: int = 512    # per-RoI point cap (reference max_inbox_point)
+    out_boxes: int = 500         # NMS max_num
+
+
+def _small_caps() -> Capacities:
+    """Tiny capacities for tests."""
+    return Capacities(
+        points=2048, voxels=2048, prevox=2048, fg_per_group=256,
+        cluster_voxels_per_group=128, clusters=128, max_gt=16,
+        frustum_points=512, frustum_objects=32, roi_points=1024,
+        max_roi_points=64, out_boxes=64,
+    )
+
+
+@dataclass(frozen=True)
+class VoteSegmentorConfig:
+    """VoteSegmentor (reference FSF_nuScenes_config.py:33-103)."""
+
+    num_classes: int = 10
+    point_dim: int = 5
+    voxel_size: Tuple[float, float, float] = (0.2, 0.2, 0.2)
+    point_cloud_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    vfe_channels: Tuple[int, ...] = (64, 64)
+    unet_base_channels: int = 64
+    unet_output_channels: int = 128
+    unet_encoder_channels: Tuple[Tuple[int, ...], ...] = (
+        (128,), (128, 128, 128), (128, 128, 128), (256, 256, 256), (512, 512, 512)
+    )
+    unet_decoder_channels: Tuple[Tuple[int, ...], ...] = (
+        (512, 512, 256), (256, 256, 128), (128, 128, 128), (128, 128, 128)
+    )
+    unet_strided_paddings: Tuple[Tuple[int, int, int], ...] = (
+        (1, 1, 1), (1, 1, 1), (1, 1, 0), (1, 1, 1)
+    )
+    unet_capacity_divisors: Tuple[int, ...] = (1, 1, 2, 4, 8)
+    head_hidden_dims: Tuple[int, ...] = (128, 128)
+    # losses
+    seg_loss_weight: float = 10.0
+    vote_loss_weight: float = 1.0
+    bg_class_weight: float = 0.1
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    """SparseClusterHeadV2-family head (reference :125-156)."""
+
+    num_classes: int = 10
+    in_channel: int = 768
+    shared_mlp_dims: Tuple[int, ...] = (1024, 1024)
+    code_size: int = 10
+    common_attrs: Tuple[Tuple[str, int, int, int], ...] = (
+        ("center", 3, 2, 128), ("dim", 3, 2, 128), ("rot", 2, 2, 128), ("vel", 2, 2, 128)
+    )
+    num_cls_layer: int = 2
+    cls_hidden_dim: int = 128
+    act: str = "gelu"
+    norm: str = "ln"
+    focal_gamma: float = 4.0
+    focal_alpha: float = 0.25
+    loss_cls_weight: float = 1.0
+    loss_center_weight: float = 0.5
+    loss_size_weight: float = 0.5
+    loss_rot_weight: float = 0.2
+    loss_vel_weight: float = 0.2
+    # test cfg
+    nms_thr: float = 0.25
+    score_thr: float = 0.05
+    max_num: int = 500
+
+
+@dataclass(frozen=True)
+class FSDConfig:
+    """LiDAR-query (FSD) branch (reference FSF_nuScenes_config.py:105-198)."""
+
+    class_names: Tuple[str, ...] = NUSC_CLASS_NAMES
+    group_names: Tuple[Tuple[str, ...], ...] = NUSC_GROUPS
+    segmentor: VoteSegmentorConfig = field(default_factory=VoteSegmentorConfig)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    score_thresh: Tuple[float, ...] = (0.1,) * 6
+    offset_weight: str = "max"
+    pre_voxel_size: Tuple[float, float, float] = (0.1, 0.1, 0.1)
+    cluster_voxel_sizes: Tuple[Tuple[float, float, float], ...] = (
+        (0.3, 0.3, 8.0), (0.3, 0.3, 8.0), (0.3, 0.3, 8.0),
+        (0.1, 0.1, 8.0), (0.2, 0.2, 8.0), (0.05, 0.05, 8.0),
+    )
+    connected_dists: Tuple[float, ...] = (0.6, 0.6, 0.6, 0.2, 0.4, 0.1)
+    min_cluster_points: int = 2
+    # SIR backbone
+    sir_num_blocks: int = 3
+    sir_feat_channels: Tuple[Tuple[int, ...], ...] = ((128, 128),) * 3
+    sir_rel_mlp_hidden: Tuple[Tuple[int, ...], ...] = ((16, 32),) * 3
+    sir_xyz_normalizer: Tuple[float, float, float] = (20.0, 20.0, 4.0)
+    caps: Capacities = field(default_factory=Capacities)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.class_names)
+
+    @property
+    def num_groups(self) -> int:
+        return len(self.group_names)
+
+    def group_class_ids(self) -> Tuple[Tuple[int, ...], ...]:
+        return tuple(
+            tuple(self.class_names.index(n) for n in g) for g in self.group_names
+        )
+
+
+def tiny_fsd_config(**overrides) -> FSDConfig:
+    """Small FSD config for CPU tests: tiny grids and capacities."""
+    seg = VoteSegmentorConfig(
+        voxel_size=(0.4, 0.4, 0.4),
+        point_cloud_range=(-12.8, -12.8, -3.0, 12.8, 12.8, 3.2),
+        vfe_channels=(16, 16),
+        unet_base_channels=16,
+        unet_output_channels=32,
+        unet_encoder_channels=((16,), (32, 32), (64, 64)),
+        unet_decoder_channels=((64, 32), (32, 32)),
+        unet_strided_paddings=((1, 1, 1), (1, 1, 1)),
+        unet_capacity_divisors=(1, 1, 2),
+        head_hidden_dims=(32, 32),
+    )
+    head = HeadConfig(
+        in_channel=3 * 64,
+        shared_mlp_dims=(64, 64),
+        common_attrs=(
+            ("center", 3, 2, 32), ("dim", 3, 2, 32), ("rot", 2, 2, 32), ("vel", 2, 2, 32)
+        ),
+        cls_hidden_dim=32,
+        max_num=64,
+    )
+    kw = dict(
+        segmentor=seg,
+        head=head,
+        sir_feat_channels=((32, 32),) * 3,
+        sir_rel_mlp_hidden=((8, 16),) * 3,
+        caps=_small_caps(),
+    )
+    kw.update(overrides)
+    return FSDConfig(**kw)

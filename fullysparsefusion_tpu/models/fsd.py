@@ -1,0 +1,271 @@
+"""SingleStageFSD — the LiDAR-query branch.
+
+Re-design of the reference SingleStageFSD (single_stage_fsd.py:380-903):
+
+  segmentor → 0.1 m pre-voxelize dedup → group_sample (softmax foreground
+  extraction per class-group with max-logit-weighted vote centers,
+  :802-875) → per-group clustering (class-specific voxelization +
+  connected components, ClusterAssigner :905-982) → SIR over
+  (group, batch, cluster) segments → SparseClusterHeadV2.
+
+Every data-dependent set is compacted into a static capacity with
+``masked_gather``; clusters are linearized (group, batch, label) keys fed to
+one ``unique_segments`` (the reference's ``unique_once``).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import FSDConfig
+from ..ops.segment import SegmentInfo, unique_segments, segment_mean
+from ..ops.voxelize import voxel_coords, grid_dims, linearize_coords
+from ..ops.ccl import connected_components_bev
+from ..utils.containers import PointBatch, GroundTruth
+from ..utils.gather import masked_gather
+from .segmentor import VoteSegmentor, segmentor_targets, segmentor_loss
+from .sir import SIR
+from .heads import SparseClusterHead, cluster_head_loss, cluster_head_get_bboxes
+
+
+class ForegroundSet(NamedTuple):
+    """Compacted per-group foreground points (concatenated across groups)."""
+
+    points: jax.Array        # [F, D] original point channels
+    feats: jax.Array         # [F, Cf] logits+votes+seg_feats
+    centers: jax.Array       # [F, 3] voted centers
+    batch_idx: jax.Array     # [F]
+    group_idx: jax.Array     # [F]
+    valid: jax.Array         # [F]
+
+
+def group_sample(
+    seg_logits: jax.Array,   # [P, C+1]
+    offsets: jax.Array,      # [P, (C+1)*3] decoded vote offsets
+    xyz: jax.Array,          # [P, 3]
+    valid: jax.Array,
+    cfg: FSDConfig,
+) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
+    """Per-group foreground masks + voted centers (single_stage_fsd.py:802-875).
+
+    Scores are softmax over (C+1); a group's score is the sum of its member
+    classes; the vote offset is the member-class offset weighted by a one-hot
+    (tie-split) of the max member logit (offset_weight='max', :867-875).
+    """
+    num_classes = cfg.num_classes
+    scores = jax.nn.softmax(seg_logits, axis=1)[:, :num_classes]
+    off = offsets.reshape(-1, num_classes + 1, 3)
+    fg_masks, centers = [], []
+    for g, cls_ids in enumerate(cfg.group_class_ids()):
+        ids = jnp.asarray(cls_ids)
+        g_score = scores[:, ids].sum(axis=1)
+        fg = valid & (g_score > cfg.score_thresh[g])
+        logits_g = seg_logits[:, ids]
+        mx = jnp.max(logits_g, axis=1, keepdims=True)
+        w = (jnp.abs(logits_g - mx) < 1e-6).astype(off.dtype)
+        w = w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-6)
+        off_g = jnp.einsum("pc,pcd->pd", w, off[:, ids, :])
+        fg_masks.append(fg)
+        centers.append(xyz + off_g)
+    return tuple(fg_masks), tuple(centers)
+
+
+def cluster_one_group(
+    centers: jax.Array,     # [K, 3] voted centers (compacted)
+    batch_idx: jax.Array,   # [K]
+    valid: jax.Array,       # [K]
+    group_id: int,
+    cfg: FSDConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """ClusterAssigner for one group (single_stage_fsd.py:936-982).
+
+    Voxelize voted centers with the group's voxel size, drop voxels with
+    fewer than min_points members, CCL over voxel mean centers (xy distance
+    < connected_dist within batch), map labels back per point.
+
+    Returns (cluster_label [K] int32 (-1 invalid), point_valid [K]).
+    """
+    vsize = cfg.cluster_voxel_sizes[group_id]
+    pc_range = cfg.segmentor.point_cloud_range
+    vcap = cfg.caps.cluster_voxels_per_group
+    coords, in_range = voxel_coords(centers, vsize, pc_range)
+    ok = valid & in_range
+    dims = grid_dims(vsize, pc_range)
+    keys = linearize_coords(coords, batch_idx, dims)
+    seg = unique_segments(keys, ok, vcap)
+    ok = ok & (seg.seg_id < vcap)
+    # drop near-empty voxels (min_points)
+    cnt_per_point = seg.counts[seg.seg_id.clip(0, vcap - 1)]
+    ok = ok & (cnt_per_point >= cfg.min_cluster_points)
+    vox_nonempty = seg.seg_valid & (seg.counts >= cfg.min_cluster_points)
+    vox_centers = segment_mean(centers, seg.seg_id, vcap, counts=seg.counts)
+    vox_batch = segment_mean(
+        batch_idx.astype(jnp.float32), seg.seg_id, vcap, counts=seg.counts
+    ).astype(jnp.int32)
+    labels_vox = connected_components_bev(
+        vox_centers[:, :2], vox_batch, vox_nonempty, cfg.connected_dists[group_id]
+    )
+    lab = labels_vox[seg.seg_id.clip(0, vcap - 1)]
+    lab = jnp.where(ok, lab, -1)
+    return lab.astype(jnp.int32), ok
+
+
+class SingleStageFSD(nn.Module):
+    """LiDAR-only fully-sparse detector (segmentor + clustering + SIR + head)."""
+
+    cfg: FSDConfig
+
+    def setup(self):
+        c = self.cfg
+        self.segmentor = VoteSegmentor(cfg=c.segmentor, caps=c.caps)
+        self.backbone = SIR(
+            num_blocks=c.sir_num_blocks,
+            feat_channels=c.sir_feat_channels,
+            rel_mlp_hidden_dims=c.sir_rel_mlp_hidden,
+            xyz_normalizer=c.sir_xyz_normalizer,
+        )
+        self.bbox_head = SparseClusterHead(
+            cfg=c.head, tasks=(c.class_names,), class_names=c.class_names
+        )
+
+    def extract_foreground(self, pb: PointBatch, seg_out, batch_size: int):
+        """pre-voxelize → group_sample → per-group cluster → combined set.
+
+        Returns (fg: ForegroundSet, cluster_label [F], seg: SegmentInfo,
+        cluster_xyz [clusters,3], cluster_batch, cluster_valid).
+        """
+        c = self.cfg
+        from ..ops.voxelize import voxelize_points
+
+        # 0.1 m pre-voxelize dedup (single_stage_fsd.py:585-605)
+        data = dict(
+            points=pb.points,
+            logits=seg_out["seg_logits"],
+            votes=seg_out["vote_preds"],
+            feats=seg_out["seg_feats"],
+            offsets=seg_out["offsets"],
+        )
+        valid = seg_out["valid"]
+        pvseg, _, pv_batch, _ = voxelize_points(
+            pb.xyz, pb.batch_idx, valid,
+            c.pre_voxel_size, c.segmentor.point_cloud_range, c.caps.prevox,
+        )
+        red = {
+            k: segment_mean(v, pvseg.seg_id, c.caps.prevox, counts=pvseg.counts)
+            for k, v in data.items()
+        }
+        pv_valid = pvseg.seg_valid
+
+        fg_masks, centers = group_sample(
+            red["logits"], red["offsets"], red["points"][:, :3], pv_valid, c
+        )
+
+        # compact each group's foreground to a static capacity
+        kcap = c.caps.fg_per_group
+        g_points, g_feats, g_centers, g_batch, g_group, g_valid = [], [], [], [], [], []
+        g_labels = []
+        feats_all = jnp.concatenate([red["logits"], red["votes"], red["feats"]], axis=1)
+        for g in range(c.num_groups):
+            idx, v = masked_gather(fg_masks[g], kcap)
+            pts_g = red["points"][idx]
+            cen_g = centers[g][idx]
+            bat_g = pv_batch[idx]
+            lab, ok = cluster_one_group(cen_g, bat_g, v, g, c)
+            g_points.append(pts_g)
+            g_feats.append(feats_all[idx])
+            g_centers.append(cen_g)
+            g_batch.append(bat_g)
+            g_group.append(jnp.full((kcap,), g, jnp.int32))
+            g_valid.append(ok)
+            g_labels.append(lab)
+
+        fg = ForegroundSet(
+            points=jnp.concatenate(g_points),
+            feats=jnp.concatenate(g_feats),
+            centers=jnp.concatenate(g_centers),
+            batch_idx=jnp.concatenate(g_batch),
+            group_idx=jnp.concatenate(g_group),
+            valid=jnp.concatenate(g_valid),
+        )
+        labels = jnp.concatenate(g_labels)
+
+        # linearize (group, batch, label) → cluster segments
+        vcap = c.caps.cluster_voxels_per_group
+        key = (fg.group_idx * batch_size + fg.batch_idx) * vcap + labels.clip(0)
+        ok = fg.valid & (labels >= 0)
+        cseg = unique_segments(key, ok, c.caps.clusters)
+        fg = fg._replace(valid=ok & (cseg.seg_id < c.caps.clusters))
+
+        cluster_xyz = segment_mean(
+            fg.centers, cseg.seg_id, c.caps.clusters, counts=cseg.counts
+        )
+        cluster_batch = segment_mean(
+            fg.batch_idx.astype(jnp.float32), cseg.seg_id, c.caps.clusters,
+            counts=cseg.counts,
+        ).astype(jnp.int32)
+        cluster_group = segment_mean(
+            fg.group_idx.astype(jnp.float32), cseg.seg_id, c.caps.clusters,
+            counts=cseg.counts,
+        ).astype(jnp.int32)
+        return fg, cseg, cluster_xyz, cluster_batch, cluster_group, cseg.seg_valid
+
+    def extract_feat(self, fg: ForegroundSet, cseg: SegmentInfo, cluster_xyz, train):
+        """SIR over cluster segments (single_stage_fsd.py:458-474)."""
+        sid = cseg.seg_id.clip(0, self.cfg.caps.clusters - 1)
+        f_cluster = fg.points[:, :3] - cluster_xyz[sid]
+        pt_feats, cluster_feats = self.backbone(
+            fg.points, fg.feats, f_cluster, cseg, fg.valid, train
+        )
+        return pt_feats, cluster_feats
+
+    def __call__(
+        self,
+        pb: PointBatch,
+        batch_size: int,
+        gt: Optional[GroundTruth] = None,
+        train: bool = False,
+    ):
+        c = self.cfg
+        seg_out = self.segmentor(pb, train)
+        fg, cseg, cluster_xyz, cluster_batch, cluster_group, cluster_valid = (
+            self.extract_foreground(pb, seg_out, batch_size)
+        )
+        pt_feats, cluster_feats = self.extract_feat(fg, cseg, cluster_xyz, train)
+        outs = self.bbox_head(cluster_feats, cluster_valid, train)
+
+        result = dict(
+            seg_out=seg_out,
+            cluster_xyz=cluster_xyz,
+            cluster_batch=cluster_batch,
+            cluster_group=cluster_group,
+            cluster_valid=cluster_valid,
+            cls_logits=outs["cls_logits"][0],
+            reg_preds=outs["reg_preds"][0],
+            num_clusters=jnp.sum(cluster_valid.astype(jnp.int32)),
+            num_fg_points=jnp.sum(fg.valid.astype(jnp.int32)),
+        )
+
+        if gt is not None:
+            losses = segmentor_loss(
+                seg_out,
+                *segmentor_targets(pb, gt, c.num_classes),
+                c.segmentor,
+            )
+            losses.update(
+                cluster_head_loss(
+                    result["cls_logits"], result["reg_preds"], cluster_xyz,
+                    cluster_batch, cluster_valid, gt, c.head,
+                )
+            )
+            result["losses"] = losses
+        return result
+
+    def get_bboxes(self, result, batch_size: int):
+        return cluster_head_get_bboxes(
+            result["cls_logits"], result["reg_preds"], result["cluster_xyz"],
+            result["cluster_batch"], result["cluster_valid"], batch_size,
+            self.cfg.head,
+        )

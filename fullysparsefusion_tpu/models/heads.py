@@ -1,0 +1,176 @@
+"""Sparse cluster detection heads.
+
+Re-design of SparseClusterHeadV2 + FSDSeparateHead (reference
+sparse_cluster_head_v2.py:17-608): shared MLP over per-cluster features, then
+per-attribute branches (center/dim/rot/vel + score), CenterPoint-style task
+groups (the shipped configs use a single task containing every class).
+Loss/assignment semantics follow sparse_cluster_head.py:
+  * clusters are assigned by cluster-center-in-GT-box (assign_single :364-397)
+    or nearest-BEV-center distance (assign_by_dist_single :399-457);
+  * focal classification over all valid clusters (avg = global valid count);
+  * per-component L1 on coder-encoded targets for positives (avg = global
+    positive count) — under a sharded jit step these sums are global, which
+    replaces the reference's explicit ``reduce_mean`` all-reduces;
+  * velocity loss weight zeroed for copy-pasted GT via the flag column
+    (sparse_cluster_head_v2.py:425-432).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import HeadConfig, Capacities
+from ..core.coders import BasePointBBoxCoder
+from ..core import losses as L
+from ..ops.geometry import points_box_assignment_batched
+from ..ops.nms import multiclass_nms_bev, NMSResult
+from ..utils.containers import GroundTruth
+from .layers import MLP
+
+
+class SeparateHead(nn.Module):
+    """FSDSeparateHead (sparse_cluster_head_v2.py:17-41): one small MLP per
+    regression attribute plus the score branch."""
+
+    attrs: Tuple[Tuple[str, int, int, int], ...]  # (name, out, layers, hidden)
+    norm: str = "ln"
+    act: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x, valid=None, train: bool = False) -> Dict[str, jax.Array]:
+        out = {}
+        for name, out_dim, num_layers, hidden in self.attrs:
+            dims = tuple([hidden] * (num_layers - 1) + [out_dim])
+            out[name] = MLP(dims, norm=self.norm, act=self.act, is_head=True)(
+                x, valid, train
+            )
+        return out
+
+
+class SparseClusterHead(nn.Module):
+    """Task-grouped cluster head; forward only (losses are pure functions)."""
+
+    cfg: HeadConfig
+    tasks: Tuple[Tuple[str, ...], ...]  # class names per task
+    class_names: Tuple[str, ...]
+
+    @nn.compact
+    def __call__(self, cluster_feats, valid, train: bool = False):
+        c = self.cfg
+        x = MLP(tuple(c.shared_mlp_dims), norm=c.norm, act=c.act)(
+            cluster_feats, valid, train
+        )
+        cls_list, reg_list = [], []
+        for t_names in self.tasks:
+            attrs = tuple(c.common_attrs) + (
+                ("score", len(t_names), c.num_cls_layer, c.cls_hidden_dim),
+            )
+            ret = SeparateHead(attrs=attrs, norm=c.norm, act=c.act)(x, valid, train)
+            reg = jnp.concatenate(
+                [ret[k] for k in ("center", "dim", "rot", "vel") if k in ret], axis=-1
+            )
+            cls_list.append(ret["score"])
+            reg_list.append(reg)
+        return dict(cls_logits=cls_list, reg_preds=reg_list)
+
+
+def assign_clusters_in_box(
+    cluster_xyz: jax.Array,
+    cluster_batch: jax.Array,
+    cluster_valid: jax.Array,
+    gt: GroundTruth,
+):
+    """Cluster-center-in-GT-box assignment → (assigned flat gt idx, -1 bg)."""
+    b, m, _ = gt.boxes.shape
+    flat_boxes = gt.boxes.reshape(b * m, -1)
+    flat_valid = gt.valid.reshape(b * m) & (gt.labels.reshape(b * m) >= 0)
+    box_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), m)
+    assign = points_box_assignment_batched(
+        cluster_xyz, cluster_batch, flat_boxes[:, :7], box_batch, flat_valid
+    )
+    return jnp.where(cluster_valid, assign, -1)
+
+
+def cluster_head_loss(
+    cls_logits: jax.Array,       # [C, num_classes] (single task)
+    reg_preds: jax.Array,        # [C, code]
+    cluster_xyz: jax.Array,      # [C, 3]
+    cluster_batch: jax.Array,    # [C]
+    cluster_valid: jax.Array,    # [C] bool
+    gt: GroundTruth,
+    cfg: HeadConfig,
+    assign: Optional[jax.Array] = None,
+    prefix: str = "",
+) -> Dict[str, jax.Array]:
+    """Single-task loss (the shipped configs run one task of all classes)."""
+    coder = BasePointBBoxCoder(cfg.code_size)
+    num_classes = cls_logits.shape[-1]
+    b, m, _ = gt.boxes.shape
+    flat_boxes = gt.boxes.reshape(b * m, -1)
+    flat_labels = gt.labels.reshape(b * m)
+
+    if assign is None:
+        assign = assign_clusters_in_box(cluster_xyz, cluster_batch, cluster_valid, gt)
+    pos = assign >= 0
+    safe = assign.clip(0)
+    labels = jnp.where(pos, flat_labels[safe], num_classes)  # bg = num_classes
+
+    # focal classification: one-hot over real classes, bg rows all-zero
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=cls_logits.dtype)
+    focal = L.sigmoid_focal_loss(cls_logits, onehot, cfg.focal_gamma, cfg.focal_alpha)
+    cls_avg = jnp.sum(cluster_valid.astype(cls_logits.dtype))
+    loss_cls = cfg.loss_cls_weight * jnp.sum(
+        focal * cluster_valid[:, None]
+    ) / jnp.maximum(cls_avg, 1.0)
+
+    # regression
+    targets = coder.encode(flat_boxes[safe], cluster_xyz)
+    w = pos.astype(reg_preds.dtype)
+    num_pos = jnp.sum(w)
+    diff = jnp.abs(reg_preds - targets) * w[:, None]
+
+    def part(sl, weight):
+        return weight * jnp.sum(diff[:, sl]) / jnp.maximum(num_pos, 1.0)
+
+    losses = {
+        prefix + "loss_cls": loss_cls,
+        prefix + "loss_center": part(slice(0, 3), cfg.loss_center_weight),
+        prefix + "loss_size": part(slice(3, 6), cfg.loss_size_weight),
+        prefix + "loss_rot": part(slice(6, 8), cfg.loss_rot_weight),
+    }
+    if cfg.code_size == 10:
+        vel_flag = flat_boxes[safe, 9] * w  # zero for pasted objects
+        loss_vel = cfg.loss_vel_weight * jnp.sum(
+            jnp.abs(reg_preds[:, 8:10] - targets[:, 8:10]) * vel_flag[:, None]
+        ) / jnp.maximum(num_pos, 1.0)
+        losses[prefix + "loss_vel"] = loss_vel
+    losses[prefix + "num_pos"] = num_pos
+    return losses
+
+
+def cluster_head_get_bboxes(
+    cls_logits: jax.Array,    # [C, num_classes]
+    reg_preds: jax.Array,     # [C, code]
+    cluster_xyz: jax.Array,
+    cluster_batch: jax.Array,
+    cluster_valid: jax.Array,
+    batch_size: int,
+    cfg: HeadConfig,
+) -> NMSResult:
+    """Decode + per-sample multiclass rotated NMS; stacked [B, max_num]."""
+    coder = BasePointBBoxCoder(cfg.code_size)
+    boxes = coder.decode(reg_preds, cluster_xyz)
+    scores = jax.nn.sigmoid(cls_logits)
+
+    results = []
+    for bi in range(batch_size):
+        mask = cluster_valid & (cluster_batch == bi)
+        results.append(
+            multiclass_nms_bev(
+                boxes, scores, mask, cfg.nms_thr, cfg.score_thr, cfg.max_num
+            )
+        )
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *results)

@@ -102,6 +102,25 @@ def points_box_assignment(
     return jnp.where(first == m, -1, first)
 
 
+def points_box_assignment_batched(
+    points: jax.Array,
+    point_batch: jax.Array,
+    boxes: jax.Array,
+    box_batch: jax.Array,
+    boxes_valid: jax.Array,
+) -> jax.Array:
+    """Per-point first containing box restricted to the point's batch element."""
+    inside = (
+        points_in_boxes(points, boxes)
+        & boxes_valid[None, :]
+        & (point_batch[:, None] == box_batch[None, :])
+    )
+    m = boxes.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    first = jnp.min(jnp.where(inside, idx[None, :], m), axis=1)
+    return jnp.where(first == m, -1, first)
+
+
 def box_corners_bev(boxes: jax.Array) -> jax.Array:
     """[N,7+] → [N,4,2] BEV corner polygons (counter-clockwise)."""
     dx, dy = boxes[..., 3], boxes[..., 4]

@@ -18,6 +18,34 @@ import jax.numpy as jnp
 from .geometry import boxes_iou_bev
 
 
+def nms_mask_from_iou(
+    iou: jax.Array,
+    scores: jax.Array,
+    valid: jax.Array,
+    iou_thr: float,
+) -> jax.Array:
+    """Greedy NMS keep mask given a precomputed [N, N] IoU matrix."""
+    n = iou.shape[0]
+    neg = jnp.finfo(scores.dtype).min
+    masked_scores = jnp.where(valid, scores, neg)
+    order = jnp.argsort(-masked_scores, stable=True)
+    v = valid[order]
+    iou_s = iou[order][:, order]
+
+    def body(i, state):
+        keep, suppressed = state
+        can = v[i] & ~suppressed[i]
+        keep = keep.at[i].set(can)
+        row = (iou_s[i] > iou_thr) & can
+        suppressed = suppressed | row
+        return keep, suppressed
+
+    keep_sorted, _ = jax.lax.fori_loop(
+        0, n, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool))
+    )
+    return jnp.zeros((n,), bool).at[order].set(keep_sorted)
+
+
 def nms_bev_mask(
     boxes: jax.Array,
     scores: jax.Array,
@@ -33,27 +61,7 @@ def nms_bev_mask(
       iou_thr: suppression threshold (IoU > thr suppresses).
     Returns keep: [N] bool.
     """
-    n = boxes.shape[0]
-    neg = jnp.finfo(scores.dtype).min
-    masked_scores = jnp.where(valid, scores, neg)
-    order = jnp.argsort(-masked_scores, stable=True)
-    b = boxes[order]
-    v = valid[order]
-    iou = boxes_iou_bev(b, b)
-
-    def body(i, state):
-        keep, suppressed = state
-        can = v[i] & ~suppressed[i]
-        keep = keep.at[i].set(can)
-        row = (iou[i] > iou_thr) & can
-        suppressed = suppressed | row
-        return keep, suppressed
-
-    keep_sorted, _ = jax.lax.fori_loop(
-        0, n, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool))
-    )
-    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
-    return keep
+    return nms_mask_from_iou(boxes_iou_bev(boxes, boxes), scores, valid, iou_thr)
 
 
 class NMSResult(NamedTuple):
@@ -66,40 +74,44 @@ class NMSResult(NamedTuple):
 def multiclass_nms_bev(
     boxes: jax.Array,
     scores: jax.Array,
-    labels: jax.Array,
     valid: jax.Array,
-    num_classes: int,
     iou_thr: float,
     score_thr: float,
     max_num: int,
 ) -> NMSResult:
-    """Class-wise rotated NMS then global top-k, static shapes throughout.
+    """mmdet3d ``box3d_multiclass_nms`` semantics with static shapes.
 
-    Matches box3d_multiclass_nms semantics: NMS runs independently per class
-    (via a per-class validity mask — no dynamic gathering needed), results are
-    merged and the global top ``max_num`` by score survive.
+    Args:
+      boxes: [N, code] — one geometric box per row.
+      scores: [N, C] — per-class scores; NMS runs independently per class
+        channel, so one box may survive under several classes.
+      valid, iou_thr, score_thr, max_num: as usual.
+    Returns top ``max_num`` (box, score, label) tuples over all class
+    channels.
     """
-    valid = valid & (scores > score_thr)
+    n, num_classes = scores.shape
+    iou = boxes_iou_bev(boxes, boxes)  # shared across classes
 
-    def per_class(c):
-        m = valid & (labels == c)
-        return nms_bev_mask(boxes, scores, m, iou_thr)
+    def per_class(s_c):
+        m = valid & (s_c > score_thr)
+        return nms_mask_from_iou(iou, s_c, m, iou_thr)
 
-    keeps = jax.vmap(per_class)(jnp.arange(num_classes))  # [C, N]
-    keep = jnp.any(keeps, axis=0) & valid
+    keeps = jax.vmap(per_class)(scores.T)  # [C, N]
 
     neg = jnp.finfo(scores.dtype).min
-    final_scores = jnp.where(keep, scores, neg)
-    k = min(max_num, final_scores.shape[0])
-    topk_scores, topk_idx = jax.lax.top_k(final_scores, k)
-    if k < max_num:  # pad to the static max_num contract
+    flat_scores = jnp.where(keeps, scores.T, neg).reshape(-1)  # [C*N]
+    k = min(max_num, flat_scores.shape[0])
+    topk_scores, topk_flat = jax.lax.top_k(flat_scores, k)
+    if k < max_num:
         pad = max_num - k
         topk_scores = jnp.concatenate([topk_scores, jnp.full((pad,), neg, scores.dtype)])
-        topk_idx = jnp.concatenate([topk_idx, jnp.zeros((pad,), topk_idx.dtype)])
+        topk_flat = jnp.concatenate([topk_flat, jnp.zeros((pad,), topk_flat.dtype)])
     out_valid = topk_scores > neg
+    box_idx = topk_flat % n
+    cls_idx = topk_flat // n
     return NMSResult(
-        boxes=boxes[topk_idx],
+        boxes=boxes[box_idx],
         scores=jnp.where(out_valid, topk_scores, 0.0),
-        labels=jnp.where(out_valid, labels[topk_idx], -1),
+        labels=jnp.where(out_valid, cls_idx.astype(jnp.int32), -1),
         valid=out_valid,
     )

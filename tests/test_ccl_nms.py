@@ -102,22 +102,21 @@ def test_multiclass_nms_shapes_and_classes():
     boxes = jnp.asarray(
         [
             [0, 0, 0, 2, 2, 2, 0.0],
-            [0.1, 0, 0, 2, 2, 2, 0.0],   # overlaps box 0, same class → suppressed
-            [0.1, 0, 0, 2, 2, 2, 0.0],   # overlaps box 0, other class → kept
+            [0.1, 0, 0, 2, 2, 2, 0.0],   # overlaps box 0
             [50, 50, 0, 2, 2, 2, 0.0],
         ],
         jnp.float32,
     )
-    scores = jnp.asarray([0.9, 0.8, 0.7, 0.01])
-    labels = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    # per-class score channels: box0 strong cls0; box1 strong cls0 (suppressed)
+    # but strong cls1 (kept); box2 below threshold everywhere
+    scores = jnp.asarray([[0.9, 0.0], [0.8, 0.7], [0.01, 0.02]])
     out = multiclass_nms_bev(
-        boxes, scores, labels, jnp.ones(4, bool),
-        num_classes=2, iou_thr=0.3, score_thr=0.05, max_num=3,
+        boxes, scores, jnp.ones(3, bool), iou_thr=0.3, score_thr=0.05, max_num=4,
     )
     v = np.asarray(out.valid)
-    assert v.sum() == 2  # box1 nms'd, box3 below score_thr
-    kept_scores = sorted(np.asarray(out.scores)[v].tolist(), reverse=True)
-    np.testing.assert_allclose(kept_scores, [0.9, 0.7], atol=1e-6)
+    assert v.sum() == 2
+    kept = sorted(np.asarray(out.scores)[v].tolist(), reverse=True)
+    np.testing.assert_allclose(kept, [0.9, 0.7], atol=1e-6)
     assert set(np.asarray(out.labels)[v].tolist()) == {0, 1}
 
 
