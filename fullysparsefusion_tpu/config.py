@@ -154,6 +154,77 @@ class FSDConfig:
         )
 
 
+@dataclass(frozen=True)
+class FSFConfig:
+    """Full LiDAR+camera fusion detector (reference FSF_nuScenes_config.py:105-411)."""
+
+    fsd: FSDConfig = field(default_factory=FSDConfig)
+    num_cams: int = 6
+    overlap_k: int = 3            # static cap on multi-mask point duplication
+    frustum_head: HeadConfig = field(
+        default_factory=lambda: HeadConfig(
+            in_channel=768 + 128, nms_thr=0.35, score_thr=0.01
+        )
+    )
+    refined_head: HeadConfig = field(
+        default_factory=lambda: HeadConfig(
+            in_channel=1024, loss_cls_weight=2.0, nms_thr=0.35, score_thr=0.01
+        )
+    )
+    encode_2d_dims: Tuple[int, ...] = (128, 128)
+    embed_dims: int = 1024
+    num_refine_stages: int = 1
+    extra_wlh: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    refine_img_mlp_dims: Tuple[int, ...] = (32, 32)
+    rois_per_point: int = 2
+
+    @property
+    def caps(self) -> Capacities:
+        return self.fsd.caps
+
+    @property
+    def num_classes(self) -> int:
+        return self.fsd.num_classes
+
+
+def tiny_fsf_config(**overrides) -> FSFConfig:
+    """Small FSF config for CPU tests."""
+    fsd = tiny_fsd_config()
+    frustum_head = HeadConfig(
+        in_channel=3 * 64 + 32,
+        shared_mlp_dims=(64, 64),
+        common_attrs=(
+            ("center", 3, 2, 32), ("dim", 3, 2, 32), ("rot", 2, 2, 32), ("vel", 2, 2, 32)
+        ),
+        cls_hidden_dim=32,
+        max_num=64,
+        nms_thr=0.35,
+        score_thr=0.01,
+    )
+    refined_head = HeadConfig(
+        in_channel=128,
+        shared_mlp_dims=(64, 64),
+        common_attrs=(
+            ("center", 3, 2, 32), ("dim", 3, 2, 32), ("rot", 2, 2, 32), ("vel", 2, 2, 32)
+        ),
+        cls_hidden_dim=32,
+        max_num=64,
+        loss_cls_weight=2.0,
+        nms_thr=0.35,
+        score_thr=0.01,
+    )
+    kw = dict(
+        fsd=fsd,
+        frustum_head=frustum_head,
+        refined_head=refined_head,
+        encode_2d_dims=(32, 32),
+        embed_dims=128,
+        refine_img_mlp_dims=(16, 16),
+    )
+    kw.update(overrides)
+    return FSFConfig(**kw)
+
+
 def tiny_fsd_config(**overrides) -> FSDConfig:
     """Small FSD config for CPU tests: tiny grids and capacities."""
     seg = VoteSegmentorConfig(

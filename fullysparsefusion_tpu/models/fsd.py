@@ -113,14 +113,17 @@ def cluster_one_group(
     return lab.astype(jnp.int32), ok
 
 
-class SingleStageFSD(nn.Module):
-    """LiDAR-only fully-sparse detector (segmentor + clustering + SIR + head)."""
+class FSDQueryBranch(nn.Module):
+    """Clustering + SIR + head: turns segmentor output into LiDAR queries.
+
+    Shared between SingleStageFSD and FSF (which composes it with the camera
+    branch — fsd_forward, FSF.py:569-605).
+    """
 
     cfg: FSDConfig
 
     def setup(self):
         c = self.cfg
-        self.segmentor = VoteSegmentor(cfg=c.segmentor, caps=c.caps)
         self.backbone = SIR(
             num_blocks=c.sir_num_blocks,
             feat_channels=c.sir_feat_channels,
@@ -221,23 +224,14 @@ class SingleStageFSD(nn.Module):
         )
         return pt_feats, cluster_feats
 
-    def __call__(
-        self,
-        pb: PointBatch,
-        batch_size: int,
-        gt: Optional[GroundTruth] = None,
-        train: bool = False,
-    ):
-        c = self.cfg
-        seg_out = self.segmentor(pb, train)
+    def __call__(self, pb: PointBatch, seg_out, batch_size: int, train: bool = False):
         fg, cseg, cluster_xyz, cluster_batch, cluster_group, cluster_valid = (
             self.extract_foreground(pb, seg_out, batch_size)
         )
         pt_feats, cluster_feats = self.extract_feat(fg, cseg, cluster_xyz, train)
         outs = self.bbox_head(cluster_feats, cluster_valid, train)
-
-        result = dict(
-            seg_out=seg_out,
+        return dict(
+            obj_feat=cluster_feats,
             cluster_xyz=cluster_xyz,
             cluster_batch=cluster_batch,
             cluster_group=cluster_group,
@@ -248,6 +242,29 @@ class SingleStageFSD(nn.Module):
             num_fg_points=jnp.sum(fg.valid.astype(jnp.int32)),
         )
 
+
+class SingleStageFSD(nn.Module):
+    """LiDAR-only fully-sparse detector (segmentor + clustering + SIR + head)."""
+
+    cfg: FSDConfig
+
+    def setup(self):
+        c = self.cfg
+        self.segmentor = VoteSegmentor(cfg=c.segmentor, caps=c.caps)
+        self.query_branch = FSDQueryBranch(cfg=c)
+
+    def __call__(
+        self,
+        pb: PointBatch,
+        batch_size: int,
+        gt: Optional[GroundTruth] = None,
+        train: bool = False,
+    ):
+        c = self.cfg
+        seg_out = self.segmentor(pb, train)
+        result = self.query_branch(pb, seg_out, batch_size, train)
+        result["seg_out"] = seg_out
+
         if gt is not None:
             losses = segmentor_loss(
                 seg_out,
@@ -256,8 +273,8 @@ class SingleStageFSD(nn.Module):
             )
             losses.update(
                 cluster_head_loss(
-                    result["cls_logits"], result["reg_preds"], cluster_xyz,
-                    cluster_batch, cluster_valid, gt, c.head,
+                    result["cls_logits"], result["reg_preds"], result["cluster_xyz"],
+                    result["cluster_batch"], result["cluster_valid"], gt, c.head,
                 )
             )
             result["losses"] = losses

@@ -10,11 +10,30 @@ all-reduces (reference: mmdet3d naiveSyncBN; SURVEY.md §2.8 item 3).
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Cross-replica axis for BN statistics (syncBN). Set while tracing a
+# shard_map'ped train step; None → local statistics. A trace-time constant,
+# so a contextvar is safe under jit.
+_BN_AXIS: contextvars.ContextVar[Optional[str]] = contextvars.ContextVar(
+    "bn_axis", default=None
+)
+
+
+@contextlib.contextmanager
+def bn_axis(name: Optional[str]):
+    """Enable cross-replica (syncBN) statistics for MaskedBatchNorm."""
+    tok = _BN_AXIS.set(name)
+    try:
+        yield
+    finally:
+        _BN_AXIS.reset(tok)
 
 
 def get_activation(name: str):
@@ -47,14 +66,20 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
 
         if train:
+            axis = _BN_AXIS.get()
             if valid is None:
-                mean = jnp.mean(x, axis=0)
-                var = jnp.mean((x - mean) ** 2, axis=0)
-            else:
-                w = valid.astype(x.dtype)[:, None]
-                n = jnp.maximum(jnp.sum(w), 1.0)
-                mean = jnp.sum(x * w, axis=0) / n
-                var = jnp.sum(((x - mean) ** 2) * w, axis=0) / n
+                valid = jnp.ones(x.shape[:1], bool)
+            w = valid.astype(x.dtype)[:, None]
+            n = jnp.sum(w)
+            sx = jnp.sum(x * w, axis=0)
+            sxx = jnp.sum(x * x * w, axis=0)
+            if axis is not None:  # syncBN: global statistics over the mesh
+                n = jax.lax.psum(n, axis)
+                sx = jax.lax.psum(sx, axis)
+                sxx = jax.lax.psum(sxx, axis)
+            n = jnp.maximum(n, 1.0)
+            mean = sx / n
+            var = jnp.maximum(sxx / n - mean**2, 0.0)
             if not self.is_initializing():
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var

@@ -6,6 +6,10 @@ sparse UNet → voxel-to-point scatter neck (gathered voxel features + local
 offset from voxel center, voxel2point_neck.py:42-67) → per-point MLP head
 emitting (C+1)-way logits and per-class 3-vector center votes. Votes are
 sqrt-encoded (segmentation_head.py:262-266).
+
+Split into ``SegmentorCore`` (features) and ``VoteSegHead`` (logits/votes)
+so FSF can inject image features between them
+(segmentor_feat_inhance_*, FSF.py:730-804).
 """
 from __future__ import annotations
 
@@ -16,7 +20,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import VoteSegmentorConfig, Capacities
-from ..ops.segment import segment_mean
 from ..ops.voxelize import voxelize_points, grid_dims
 from ..ops.sparse_conv import SparseTensor
 from ..ops.geometry import gravity_center, points_box_assignment_batched
@@ -35,12 +38,14 @@ def decode_vote_targets(preds: jax.Array) -> jax.Array:
     return preds * jnp.abs(preds)
 
 
-class VoteSegmentor(nn.Module):
+class SegmentorCore(nn.Module):
+    """voxelize → VFE → sparse UNet → voxel2point neck → per-point features."""
+
     cfg: VoteSegmentorConfig
     caps: Capacities
 
     @nn.compact
-    def __call__(self, pb: PointBatch, train: bool = False) -> Dict[str, jax.Array]:
+    def __call__(self, pb: PointBatch, train: bool = False):
         c = self.cfg
         xyz = pb.xyz
         seg, _, vox_batch, vox_coords = voxelize_points(
@@ -67,7 +72,7 @@ class VoteSegmentor(nn.Module):
             encoder_strided_paddings=c.unet_strided_paddings,
             decoder_channels=c.unet_decoder_channels,
             stage_capacity_divisors=c.unet_capacity_divisors,
-        )(st, train)  # [voxels, 128]
+        )(st, train)  # [voxels, out_ch]
 
         # voxel2point neck: gather voxel feature + local offset from voxel center
         sid = seg.seg_id.clip(0, self.caps.voxels - 1)
@@ -77,24 +82,47 @@ class VoteSegmentor(nn.Module):
         centers = vox_coords.astype(xyz.dtype) * vs + vs * 0.5 + lo
         local_off = xyz - centers[sid]
         seg_feats = jnp.concatenate([pt_vox_feat, local_off], axis=1)
-        seg_feats = seg_feats * pt_valid[:, None].astype(seg_feats.dtype)
+        return seg_feats * pt_valid[:, None].astype(seg_feats.dtype), pt_valid
 
-        # head: MLP → logits + votes (softmax head with background class)
+    @property
+    def feat_dim(self) -> int:
+        return self.cfg.unet_output_channels + 3
+
+
+class VoteSegHead(nn.Module):
+    """Per-point MLP head → (C+1)-way logits + per-class center votes."""
+
+    cfg: VoteSegmentorConfig
+
+    @nn.compact
+    def __call__(self, seg_feats, valid, train: bool = False):
+        c = self.cfg
         hidden = MLP(tuple(c.head_hidden_dims), norm="bn", act="relu")(
-            seg_feats, pt_valid, train
+            seg_feats, valid, train
         )
         n_out = c.num_classes + 1
         seg_logits = nn.Dense(n_out, use_bias=True)(hidden)
         vote_preds = nn.Dense(n_out * 3, use_bias=True)(hidden)
         offsets = decode_vote_targets(vote_preds.reshape(-1, n_out, 3))
-
         return dict(
             seg_feats=seg_feats,
             seg_logits=seg_logits,
             vote_preds=vote_preds,
             offsets=offsets.reshape(-1, n_out * 3),
-            valid=pt_valid,
+            valid=valid,
         )
+
+
+class VoteSegmentor(nn.Module):
+    """Core + head (the standalone configuration used by SingleStageFSD)."""
+
+    cfg: VoteSegmentorConfig
+    caps: Capacities
+
+    @nn.compact
+    def __call__(self, pb: PointBatch, train: bool = False) -> Dict[str, jax.Array]:
+        seg_feats, pt_valid = SegmentorCore(cfg=self.cfg, caps=self.caps)(pb, train)
+        return VoteSegHead(cfg=self.cfg)(seg_feats, pt_valid, train)
 
 
 def segmentor_targets(pb: PointBatch, gt: GroundTruth, num_classes: int):

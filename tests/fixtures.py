@@ -1,9 +1,11 @@
 """Synthetic scene fixture: a few boxes with sampled surface points plus
-ground clutter — the CPU stand-in for nuScenes-mini (SURVEY.md §4 item b)."""
+ground clutter — the CPU stand-in for nuScenes-mini (SURVEY.md §4 item b).
+Also builds matching synthetic camera data (masks + annos + projections)."""
 import numpy as np
 import jax.numpy as jnp
 
 from fullysparsefusion_tpu.utils.containers import PointBatch, GroundTruth
+from fullysparsefusion_tpu.models.camera import CameraData
 
 
 def make_scene(
@@ -73,3 +75,79 @@ def make_scene(
         boxes=jnp.asarray(gt_boxes), labels=jnp.asarray(gt_labels), valid=jnp.asarray(gt_valid)
     )
     return pb, gt
+
+
+def with_noaug_channels(pb: PointBatch) -> PointBatch:
+    """Append a copy of xyz as the last-3 'no-augmentation' channels
+    (SaveNoAugPoints semantics for an un-augmented scene)."""
+    pts = jnp.concatenate([pb.points, pb.points[:, :3]], axis=1)
+    return pb.replace(points=pts)
+
+
+def make_camera_data(
+    pb: PointBatch,
+    gt: GroundTruth,
+    batch_size=2,
+    num_cams=2,
+    num_classes=10,
+    img_h=64,
+    img_w=96,
+    max_anno=32,
+    fx=40.0,
+):
+    """Synthetic cameras + instance masks consistent with the GT boxes.
+
+    Cameras look along +x (cam 0) and −x (cam 1). Each valid GT box gets an
+    anno row; its mask is a painted rectangle around the projected gravity
+    center in whichever camera sees it.
+    """
+    cams = []
+    for ci in range(num_cams):
+        s = 1.0 if ci == 0 else -1.0
+        # depth = s*x; u_h = fx*s*y + cx*(s*x); v_h = fx*z + cy*(s*x)
+        P = np.array(
+            [
+                [s * img_w / 2, s * fx, 0, 0],
+                [s * img_h / 2, 0, fx, 0],
+                [s, 0, 0, 0],
+                [0, 0, 0, 1],
+            ],
+            np.float32,
+        )
+        cams.append(P)
+    lidar2img = np.broadcast_to(
+        np.stack(cams)[None], (batch_size, num_cams, 4, 4)
+    ).copy()
+
+    masks = np.zeros((batch_size, num_cams, num_classes, img_h, img_w), np.int32)
+    anno = np.zeros((batch_size, max_anno, 9), np.float32)
+    gtb = np.asarray(gt.boxes)
+    gtl = np.asarray(gt.labels)
+    gtv = np.asarray(gt.valid)
+    for b in range(batch_size):
+        row = 0
+        for j in range(gtb.shape[1]):
+            if not gtv[b, j] or row >= max_anno:
+                continue
+            cx, cy, cz = gtb[b, j, 0], gtb[b, j, 1], gtb[b, j, 2] + gtb[b, j, 5] / 2
+            ci = 0 if cx > 0 else 1
+            s = 1.0 if ci == 0 else -1.0
+            depth = s * cx
+            if depth < 0.5:
+                continue
+            u = int(img_w / 2 + fx * s * cy / depth)
+            v = int(img_h / 2 + fx * cz / depth)
+            if not (0 <= u < img_w and 0 <= v < img_h):
+                continue
+            r = max(3, int(fx * max(gtb[b, j, 3], gtb[b, j, 4]) / depth / 2))
+            u0, u1 = max(0, u - r), min(img_w, u + r + 1)
+            v0, v1 = max(0, v - r), min(img_h, v + r + 1)
+            cls = int(gtl[b, j])
+            masks[b, ci, cls, v0:v1, u0:u1] = row + 1
+            anno[b, row] = [u0, v0, u1, v1, 0.9, cls, ci, row, 1]
+            row += 1
+    return CameraData(
+        masks=jnp.asarray(masks),
+        anno=jnp.asarray(anno),
+        lidar2img=jnp.asarray(lidar2img),
+    )
