@@ -177,6 +177,11 @@ class FSFConfig:
     extra_wlh: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     refine_img_mlp_dims: Tuple[int, ...] = (32, 32)
     rois_per_point: int = 2
+    # DistAssigner max BEV distance per class for the refined head
+    # (FSF_nuScenes_config.py:343-360)
+    refine_max_dist: Tuple[float, ...] = (
+        1.0, 1.0, 2.0, 4.0, 0.5, 0.5, 0.5, 0.5, 0.5, 0.0
+    )
 
     @property
     def caps(self) -> Capacities:

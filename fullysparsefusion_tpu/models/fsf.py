@@ -225,22 +225,32 @@ class FSF(nn.Module):
         )
 
         if gt is not None:
-            losses = self._losses(pb_inner, gt, no_aug_gt, result, fr, fsd, fr_out)
+            losses = self._losses(pb_inner, cam, gt, no_aug_gt, result, fr, fsd, fr_out)
             result["losses"] = losses
         return result
 
-    def _losses(self, pb_inner, gt, no_aug_gt, result, fr, fsd, fr_out):
+    def _losses(self, pb_inner, cam, gt, no_aug_gt, result, fr, fsd, fr_out):
+        from ..core.assigners import hybrid_assign
+
         c = self.cfg
         f = c.fsd
+        if no_aug_gt is None:
+            no_aug_gt = gt
+        img_h, img_w = cam.masks.shape[-2:]
         seg_out = result["seg_out"]
         losses = segmentor_loss(
             seg_out, *segmentor_targets(pb_inner, gt, f.num_classes), f.segmentor
         )
-        # camera-query head: 3D assignment against augmented GT (the 2D-IoU
-        # merge of HybridAssigner lands with the assigner module)
+        # camera-query head: HybridAssigner (3D point-in-box ∪ 2D MaxIoU on
+        # projected no-aug GT; FSF_nuScenes_config.py:221-237)
+        fr_assign = hybrid_assign(
+            fr["obj_centers"], fr["obj_batch"], fr["obj_valid"],
+            fr["preds_2d"], gt, no_aug_gt, cam.lidar2img, img_w, img_h,
+        )
         fr_losses = cluster_head_loss(
             fr_out["cls_logits"][0], fr_out["reg_preds"][0], fr["obj_centers"],
-            fr["obj_batch"], fr["obj_valid"], gt, c.frustum_head, prefix="frustum_",
+            fr["obj_batch"], fr["obj_valid"], gt, c.frustum_head,
+            assign=fr_assign, prefix="frustum_",
         )
         losses.update(fr_losses)
         fsd_losses = cluster_head_loss(
@@ -249,11 +259,25 @@ class FSF(nn.Module):
         )
         losses.update(fsd_losses)
         fin = result["final"]
+        preds_2d_all = jnp.concatenate(
+            [
+                fr["preds_2d"],
+                jnp.zeros((f.caps.clusters, fr["preds_2d"].shape[1])),
+            ]
+        )
         for i, st in enumerate(result["stages"]):
+            # FrustumAssigner + DistAssigner (FSF_nuScenes_config.py:328-363)
+            st_assign = hybrid_assign(
+                st["centers"], fin["q_batch"], fin["q_valid"],
+                preds_2d_all, gt, no_aug_gt, cam.lidar2img, img_w, img_h,
+                query_logits=st["cls_logits"],
+                max_dist_per_class=c.refine_max_dist,
+                restrict_3d_to_noaug=False,
+            )
             st_losses = cluster_head_loss(
                 st["cls_logits"], st["reg_preds"], st["centers"],
                 fin["q_batch"], fin["q_valid"], gt, c.refined_head,
-                prefix=f"stage{i}_",
+                assign=st_assign, prefix=f"stage{i}_",
             )
             losses.update(st_losses)
         return losses

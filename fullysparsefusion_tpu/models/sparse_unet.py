@@ -22,7 +22,9 @@ from flax import linen as nn
 
 from ..ops.sparse_conv import (
     SparseTensor,
-    subm_conv3d,
+    Rulebook,
+    build_subm_rulebook,
+    subm_conv_apply,
     sparse_conv3d,
     sparse_inverse_conv3d,
 )
@@ -30,11 +32,13 @@ from .layers import MaskedBatchNorm
 
 
 class _SubMBlock(nn.Module):
+    """Submanifold conv + BN + ReLU through a shared per-stage rulebook."""
+
     out_channels: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
+    def __call__(self, st: SparseTensor, rb: Rulebook, train: bool) -> SparseTensor:
         k3 = self.kernel_size[0] * self.kernel_size[1] * self.kernel_size[2]
         cin = st.feats.shape[-1]
         w = self.param(
@@ -42,7 +46,7 @@ class _SubMBlock(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
             (k3, cin, self.out_channels),
         )
-        y = subm_conv3d(st, w, None, self.kernel_size)
+        y = subm_conv_apply(st.feats, st.valid, rb, w, None)
         y = MaskedBatchNorm()(y, st.valid, train)
         y = nn.relu(y) * st.valid[:, None].astype(y.dtype)
         return st.replace(feats=y)
@@ -65,7 +69,8 @@ class _DownBlock(nn.Module):
             (k3, cin, self.out_channels),
         )
         out = sparse_conv3d(
-            st, w, None, self.kernel_size, self.stride, self.padding, self.out_capacity
+            st, w, None, self.kernel_size, self.stride, self.padding,
+            self.out_capacity, compute_dtype=jnp.bfloat16,
         )
         y = MaskedBatchNorm()(out.feats, out.valid, train)
         y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
@@ -98,6 +103,7 @@ class _UpBlock(nn.Module):
             self.kernel_size,
             self.stride,
             self.padding,
+            compute_dtype=jnp.bfloat16,
         )
         y = MaskedBatchNorm()(out.feats, out.valid, train)
         y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
@@ -129,7 +135,10 @@ class SparseUNet(nn.Module):
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False) -> jax.Array:
         cap0 = st.capacity
-        st = _SubMBlock(self.base_channels, name="conv_input")(st, train)
+        # one rulebook per stage, shared by every submanifold conv on that
+        # active set (encoder + decoder + final projection)
+        rulebooks = [build_subm_rulebook(st)]
+        st = _SubMBlock(self.base_channels, name="conv_input")(st, rulebooks[0], train)
 
         skips = []
         n_stages = len(self.encoder_channels)
@@ -143,8 +152,9 @@ class SparseUNet(nn.Module):
                         out_capacity=out_cap,
                         name=f"enc{i}_down",
                     )(st, train)
+                    rulebooks.append(build_subm_rulebook(st))
                 else:
-                    st = _SubMBlock(c, name=f"enc{i}_subm{j}")(st, train)
+                    st = _SubMBlock(c, name=f"enc{i}_subm{j}")(st, rulebooks[i], train)
             skips.append(st)
 
         x = skips[-1]
@@ -156,7 +166,7 @@ class SparseUNet(nn.Module):
             merged = x.replace(feats=jnp.concatenate([x.feats, skip.feats], axis=1))
             y = merged
             for j, c in enumerate(widths[:-1]):
-                y = _SubMBlock(c, name=f"dec{d}_subm{j}")(y, train)
+                y = _SubMBlock(c, name=f"dec{d}_subm{j}")(y, rulebooks[enc_stage], train)
             x = _UpBlock(
                 widths[-1],
                 padding=tuple(self.encoder_strided_paddings[enc_stage - 1]),
@@ -165,5 +175,5 @@ class SparseUNet(nn.Module):
 
         # final merge with stage-0 skip and projection to output_channels
         merged = x.replace(feats=jnp.concatenate([x.feats, skips[0].feats], axis=1))
-        out = _SubMBlock(self.output_channels, name="conv_out")(merged, train)
+        out = _SubMBlock(self.output_channels, name="conv_out")(merged, rulebooks[0], train)
         return out.feats  # [cap0, output_channels], aligned with input rows

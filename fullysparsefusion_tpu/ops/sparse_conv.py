@@ -102,6 +102,62 @@ def _kernel_offsets(kernel_size: Tuple[int, int, int]):
     return out
 
 
+@struct.dataclass
+class Rulebook:
+    """Precomputed submanifold neighbor map for one active set.
+
+    rows[k, i] = input row index of the voxel at kernel offset k relative to
+    output voxel i; hits[k, i] = whether that neighbor is active. Building it
+    costs one sort + K³ binary searches; every conv that shares the active
+    set (all submanifold convs of a UNet stage) reuses it — the TPU analog of
+    spconv's cached rulebook.
+    """
+
+    rows: jax.Array  # [K³, cap] int32
+    hits: jax.Array  # [K³, cap] bool
+
+
+def build_subm_rulebook(
+    st: SparseTensor, kernel_size: Tuple[int, int, int] = (3, 3, 3)
+) -> Rulebook:
+    offsets = _kernel_offsets(kernel_size)
+    center = tuple(k // 2 for k in kernel_size)
+    sorted_keys, perm = build_lookup(st)
+    rows, hits = [], []
+    for (ox, oy, oz) in offsets:
+        off = jnp.asarray([ox - center[0], oy - center[1], oz - center[2]], jnp.int32)
+        row, hit = lookup(sorted_keys, perm, st.coords + off, st.batch, st.valid, st.dims)
+        rows.append(row)
+        hits.append(hit)
+    return Rulebook(rows=jnp.stack(rows), hits=jnp.stack(hits))
+
+
+def subm_conv_apply(
+    feats: jax.Array,      # [cap, Cin]
+    valid: jax.Array,      # [cap]
+    rb: Rulebook,
+    w: jax.Array,          # [K³, Cin, Cout]
+    b: Optional[jax.Array] = None,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Apply a submanifold conv through a prebuilt rulebook.
+
+    Gather-matmul-accumulate per kernel offset; matmuls run in bf16 on the
+    MXU with f32 accumulation.
+    """
+    k3 = rb.rows.shape[0]
+    cout = w.shape[-1]
+    out = jnp.zeros((feats.shape[0], cout), jnp.float32)
+    f16 = feats.astype(compute_dtype)
+    w16 = w.astype(compute_dtype)
+    for ki in range(k3):
+        nf = f16[rb.rows[ki]] * rb.hits[ki][:, None].astype(compute_dtype)
+        out = out + jnp.dot(nf, w16[ki], preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b
+    return out * valid[:, None].astype(out.dtype)
+
+
 def subm_conv3d(
     st: SparseTensor,
     w: jax.Array,  # [K³, Cin, Cout]
@@ -110,23 +166,11 @@ def subm_conv3d(
 ) -> jax.Array:
     """Submanifold conv: output set == input set; returns new feats [cap, Cout].
 
-    out[p] = Σ_k in[p + k − center] @ w[k].
+    out[p] = Σ_k in[p + k − center] @ w[k]. One-shot variant — for repeated
+    convs over the same active set build the rulebook once.
     """
-    offsets = _kernel_offsets(kernel_size)
-    center = tuple(k // 2 for k in kernel_size)
-    sorted_keys, perm = build_lookup(st)
-    cap = st.capacity
-    cout = w.shape[-1]
-    out = jnp.zeros((cap, cout), st.feats.dtype)
-    for ki, (ox, oy, oz) in enumerate(offsets):
-        off = jnp.asarray([ox - center[0], oy - center[1], oz - center[2]], jnp.int32)
-        q = st.coords + off
-        row, hit = lookup(sorted_keys, perm, q, st.batch, st.valid, st.dims)
-        nf = st.feats[row] * hit[:, None].astype(st.feats.dtype)
-        out = out + jnp.dot(nf, w[ki], preferred_element_type=out.dtype)
-    if b is not None:
-        out = out + b
-    return out * st.valid[:, None].astype(out.dtype)
+    rb = build_subm_rulebook(st, kernel_size)
+    return subm_conv_apply(st.feats, st.valid, rb, w, b, compute_dtype=st.feats.dtype)
 
 
 def conv_out_dim(n: int, k: int, s: int, p: int) -> int:
@@ -194,6 +238,7 @@ def sparse_conv3d(
     stride: Tuple[int, int, int],
     padding: Tuple[int, int, int],
     out_capacity: int,
+    compute_dtype=None,
 ) -> SparseTensor:
     """Regular (strided) sparse conv: generates a new active set.
 
@@ -205,14 +250,17 @@ def sparse_conv3d(
     sorted_keys, perm = build_lookup(st)
     offsets = _kernel_offsets(kernel_size)
     cout = w.shape[-1]
-    out = jnp.zeros((out_capacity, cout), st.feats.dtype)
+    cdtype = compute_dtype or st.feats.dtype
+    f16 = st.feats.astype(cdtype)
+    w16 = w.astype(cdtype)
+    out = jnp.zeros((out_capacity, cout), jnp.float32)
     sv = jnp.asarray(stride, jnp.int32)
     pv = jnp.asarray(padding, jnp.int32)
     for ki, (ox, oy, oz) in enumerate(offsets):
         q = out_coords * sv - pv + jnp.asarray([ox, oy, oz], jnp.int32)
         row, hit = lookup(sorted_keys, perm, q, out_batch, out_valid, st.dims)
-        nf = st.feats[row] * hit[:, None].astype(st.feats.dtype)
-        out = out + jnp.dot(nf, w[ki], preferred_element_type=out.dtype)
+        nf = f16[row] * hit[:, None].astype(cdtype)
+        out = out + jnp.dot(nf, w16[ki], preferred_element_type=jnp.float32)
     if b is not None:
         out = out + b
     out = out * out_valid[:, None].astype(out.dtype)
@@ -232,6 +280,7 @@ def sparse_inverse_conv3d(
     kernel_size: Tuple[int, int, int],
     stride: Tuple[int, int, int],
     padding: Tuple[int, int, int],
+    compute_dtype=None,
 ) -> SparseTensor:
     """Inverse conv: upsample ``st`` onto a recorded finer active set.
 
@@ -242,7 +291,10 @@ def sparse_inverse_conv3d(
     offsets = _kernel_offsets(kernel_size)
     cout = w.shape[-1]
     cap = target_coords.shape[0]
-    out = jnp.zeros((cap, cout), st.feats.dtype)
+    cdtype = compute_dtype or st.feats.dtype
+    f16 = st.feats.astype(cdtype)
+    w16 = w.astype(cdtype)
+    out = jnp.zeros((cap, cout), jnp.float32)
     sv = jnp.asarray(stride, jnp.int32)
     pv = jnp.asarray(padding, jnp.int32)
     for ki, (ox, oy, oz) in enumerate(offsets):
@@ -250,8 +302,8 @@ def sparse_inverse_conv3d(
         q, r = jnp.divmod(num, sv)
         ok = target_valid & jnp.all(r == 0, axis=-1)
         row, hit = lookup(sorted_keys, perm, q, target_batch, ok, st.dims)
-        nf = st.feats[row] * hit[:, None].astype(st.feats.dtype)
-        out = out + jnp.dot(nf, w[ki], preferred_element_type=out.dtype)
+        nf = f16[row] * hit[:, None].astype(cdtype)
+        out = out + jnp.dot(nf, w16[ki], preferred_element_type=jnp.float32)
     if b is not None:
         out = out + b
     out = out * target_valid[:, None].astype(out.dtype)
