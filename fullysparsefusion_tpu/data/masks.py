@@ -1,0 +1,104 @@
+"""Offline 2D instance-mask loading → CameraData.
+
+Replaces LoadMaskFromFiles (datasets/pipelines/loading.py:21-339): the
+offline HTC pre-inference (tools/mask_tools/save_mask_nusc.py) writes, per
+sample token, one PNG per (camera, class) whose pixels hold instance ids
+(anno row + 1, 0 = background) plus an ``anno.json`` with rows
+[bbox(4), score, category, cam_id, obj_id]. We load them into the fixed
+[cams, classes, H, W] tensor + [A, 9] anno table (reorg_anno_multi_cls,
+loading.py:301-339: rows sorted by obj_id, padded to a fixed count with a
+validity flag).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _read_png(path: str) -> np.ndarray:
+    """Minimal grayscale PNG reader (PIL if present, else imageio, else cv2)."""
+    try:
+        from PIL import Image
+
+        return np.asarray(Image.open(path))
+    except ImportError:
+        pass
+    try:
+        import cv2
+
+        return cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    except ImportError as e:
+        raise RuntimeError("no PNG reader available (PIL/cv2)") from e
+
+
+def reorg_anno(
+    raw_annos: List[dict], max_anno: int = 250
+) -> np.ndarray:
+    """[A, 9] anno rows sorted by obj_id: [x1,y1,x2,y2,score,category,cam_id,
+    obj_id,valid]."""
+    out = np.zeros((max_anno, 9), np.float32)
+    rows = sorted(raw_annos, key=lambda a: a["obj_id"])
+    for a in rows:
+        i = int(a["obj_id"])
+        if i >= max_anno:
+            continue
+        out[i, :4] = a["bbox"]
+        out[i, 4] = a["score"]
+        out[i, 5] = a["category"]
+        out[i, 6] = a["cam_id"]
+        out[i, 7] = a["obj_id"]
+        out[i, 8] = 1.0
+    return out
+
+
+def load_sample_masks(
+    mask_dir: str,
+    token: str,
+    num_cams: int,
+    num_classes: int,
+    img_hw: Tuple[int, int],
+    max_anno: int = 250,
+    downsample: int = 1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(masks [cams, classes, H/d, W/d] int32, anno [A, 9]).
+
+    Missing files mean "no instances of that (cam, class)". ``downsample``
+    strides the mask grid (nearest) to trade mask precision for HBM — the
+    lookup path divides projected pixels accordingly.
+    """
+    h, w = img_hw
+    hs, ws = h // downsample, w // downsample
+    masks = np.zeros((num_cams, num_classes, hs, ws), np.int32)
+    sdir = os.path.join(mask_dir, token)
+    anno_path = os.path.join(sdir, "anno.json")
+    if not os.path.isfile(anno_path):
+        return masks, np.zeros((max_anno, 9), np.float32)
+    with open(anno_path) as f:
+        raw = json.load(f)
+    anno = reorg_anno(raw if isinstance(raw, list) else raw.get("annos", []), max_anno)
+    for cam in range(num_cams):
+        for cls in range(num_classes):
+            p = os.path.join(sdir, f"{cam}_{cls}.png")
+            if os.path.isfile(p):
+                img = _read_png(p)
+                masks[cam, cls] = img[::downsample, ::downsample].astype(np.int32)
+    if downsample > 1:
+        anno = anno.copy()
+        anno[:, :4] /= downsample
+    return masks, anno
+
+
+def make_camera_batch(
+    samples_masks: List[np.ndarray],
+    samples_annos: List[np.ndarray],
+    samples_lidar2img: List[np.ndarray],
+):
+    """Stack per-sample mask data into the CameraData arrays."""
+    return (
+        np.stack(samples_masks),
+        np.stack(samples_annos),
+        np.stack(samples_lidar2img),
+    )

@@ -1,0 +1,150 @@
+"""nuScenes dataset reader: info pickles → fixed-shape training batches.
+
+Replaces the reference's mmdet3d NuScenesDataset + pipeline stack
+(configs/_base_/datasets/nuscenes_dataloader.py:53-95): load points (5-dim)
+→ aggregate 9 past sweeps with per-sweep ego-motion transform and Δt channel
+→ annotations → SaveNoAugPoints → geometric aug → range filter → shuffle →
+intensity normalize → fixed-capacity collation. Mask data comes from the
+offline 2D pre-inference directory (see ``masks.py``).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from . import pipelines as P
+from .cbgs import class_balanced_indices
+
+NUSC_CLASS_MAP = {
+    "vehicle.car": "car", "vehicle.truck": "truck", "vehicle.trailer": "trailer",
+    "vehicle.bus.bendy": "bus", "vehicle.bus.rigid": "bus",
+    "vehicle.construction": "construction_vehicle",
+    "vehicle.bicycle": "bicycle", "vehicle.motorcycle": "motorcycle",
+    "human.pedestrian.adult": "pedestrian", "human.pedestrian.child": "pedestrian",
+    "human.pedestrian.construction_worker": "pedestrian",
+    "human.pedestrian.police_officer": "pedestrian",
+    "movable_object.trafficcone": "traffic_cone",
+    "movable_object.barrier": "barrier",
+}
+
+
+def load_points_bin(path: str, load_dim: int = 5, use_dim: int = 5) -> np.ndarray:
+    pts = np.fromfile(path, dtype=np.float32).reshape(-1, load_dim)
+    return pts[:, :use_dim]
+
+
+def aggregate_sweeps(
+    info: Dict,
+    data_root: str,
+    num_sweeps: int = 9,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Key frame + up to ``num_sweeps`` past sweeps in key-frame coordinates,
+    with a Δt (time-lag) channel appended (mmdet3d LoadPointsFromMultiSweeps
+    semantics used by the shipped configs)."""
+    key = load_points_bin(os.path.join(data_root, info["lidar_path"]))
+    key_time = info["timestamp"] / 1e6
+    out = [np.concatenate([key, np.zeros((len(key), 1), np.float32)], 1)]
+    sweeps = info.get("sweeps", [])
+    chosen = sweeps[:num_sweeps]
+    for sw in chosen:
+        pts = load_points_bin(os.path.join(data_root, sw["data_path"]))
+        r = np.asarray(sw["sensor2lidar_rotation"], np.float32)
+        t = np.asarray(sw["sensor2lidar_translation"], np.float32)
+        xyz = pts[:, :3] @ r.T + t
+        dt = key_time - sw["timestamp"] / 1e6
+        out.append(
+            np.concatenate(
+                [xyz, pts[:, 3:], np.full((len(pts), 1), dt, np.float32)], 1
+            )
+        )
+    return np.concatenate(out)
+
+
+@dataclass
+class NuScenesReader:
+    """Iterates info-pkl samples into the collated training dicts."""
+
+    info_path: str
+    data_root: str
+    class_names: Sequence[str]
+    num_sweeps: int = 9
+    training: bool = True
+    point_cloud_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    with_cbgs: bool = True
+    seed: int = 0
+
+    def __post_init__(self):
+        with open(self.info_path, "rb") as f:
+            data = pickle.load(f)
+        self.infos = data["infos"] if isinstance(data, dict) else data
+        self.rng = np.random.default_rng(self.seed)
+        self._indices = np.arange(len(self.infos))
+        if self.training and self.with_cbgs:
+            name_to_id = {n: i for i, n in enumerate(self.class_names)}
+            sample_classes = []
+            for info in self.infos:
+                ids = []
+                for name in info.get("gt_names", []):
+                    mapped = NUSC_CLASS_MAP.get(name, name)
+                    if mapped in name_to_id:
+                        ids.append(name_to_id[mapped])
+                sample_classes.append(ids)
+            self._indices = class_balanced_indices(
+                sample_classes, len(self.class_names), self.rng
+            )
+
+    def __len__(self):
+        return len(self._indices)
+
+    def sample(self, i: int, augment: bool = True) -> Dict[str, np.ndarray]:
+        info = self.infos[self._indices[i]]
+        points = aggregate_sweeps(info, self.data_root, self.num_sweeps, self.rng)
+        name_to_id = {n: i for i, n in enumerate(self.class_names)}
+        gt_boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 7))), np.float32)
+        names = [NUSC_CLASS_MAP.get(n, n) for n in info.get("gt_names", [])]
+        gt_labels = np.asarray(
+            [name_to_id.get(n, -1) for n in names], np.int32
+        )
+        if "gt_velocity" in info and len(gt_boxes):
+            vel = np.nan_to_num(np.asarray(info["gt_velocity"], np.float32))
+            gt_boxes = np.concatenate([gt_boxes[:, :7], vel], 1)
+        keep = gt_labels >= 0
+        gt_boxes, gt_labels = gt_boxes[keep], gt_labels[keep]
+
+        points = P.normalize_intensity(points, dim=3)
+        points = P.save_noaug_channels(points)
+        no_aug_gt = gt_boxes.copy()
+        if self.training and augment:
+            tp = P.sample_transform_params(self.rng)
+            # transform only the live xyz channels, not the saved no-aug tail
+            live = P.apply_points_transform(points[:, :-3], tp)
+            points = np.concatenate([live, points[:, -3:]], 1)
+            gt_boxes = P.apply_boxes_transform(gt_boxes, tp)
+        points = P.filter_points_range(points, self.point_cloud_range)
+        r = self.point_cloud_range
+        gt_boxes, gt_labels, (no_aug_gt,) = P.filter_boxes_range(
+            gt_boxes, gt_labels, (r[0], r[1], r[3], r[4]), [no_aug_gt]
+        )
+        if self.training:
+            points = P.shuffle_points(points, self.rng)
+        return dict(
+            points=points,
+            gt_boxes=gt_boxes,
+            gt_labels=gt_labels,
+            no_aug_gt_boxes=no_aug_gt,
+            token=info.get("token", ""),
+            lidar2img=np.asarray(info["lidar2img"], np.float32)
+            if "lidar2img" in info
+            else None,
+        )
+
+    def batches(self, batch_size: int, n_points_cap: int, max_gt: int):
+        order = self.rng.permutation(len(self)) if self.training else np.arange(len(self))
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            samples = [self.sample(int(j)) for j in order[s:s + batch_size]]
+            yield P.collate_scene(samples, n_points_cap, max_gt), samples

@@ -1,0 +1,85 @@
+"""Checkpointing — orbax snapshots + reference ``.pth`` conversion.
+
+The reference uses mmcv epoch checkpoints plus ``load_from`` warm-starts
+from an FSD pretrain (default_runtime.py:1, FSF_nuScenes_config.py:429;
+SURVEY.md §5 checkpoint/resume). Here: orbax for native save/resume of the
+full TrainState, and a torch→pytree converter so reference checkpoints can
+seed the TPU model (metric-parity north star).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state) -> None:
+    ocp = _ocp()
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    return os.path.join(os.path.abspath(ckpt_dir), steps[-1]) if steps else None
+
+
+def load_checkpoint(path: str, target):
+    ocp = _ocp()
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target=target)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference ``.pth`` into {name: ndarray} (CPU torch only)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+def convert_linear(sd: Dict[str, np.ndarray], torch_prefix: str):
+    """torch nn.Linear → flax Dense: weight [out,in] → kernel [in,out]."""
+    out = {"kernel": sd[f"{torch_prefix}.weight"].T}
+    if f"{torch_prefix}.bias" in sd:
+        out["bias"] = sd[f"{torch_prefix}.bias"]
+    return out
+
+
+def convert_batchnorm(sd: Dict[str, np.ndarray], torch_prefix: str):
+    """torch BatchNorm1d / naiveSyncBN1d → MaskedBatchNorm params + stats."""
+    return (
+        {"scale": sd[f"{torch_prefix}.weight"], "bias": sd[f"{torch_prefix}.bias"]},
+        {
+            "mean": sd[f"{torch_prefix}.running_mean"],
+            "var": sd[f"{torch_prefix}.running_var"],
+        },
+    )
+
+
+def convert_layernorm(sd: Dict[str, np.ndarray], torch_prefix: str):
+    return {"scale": sd[f"{torch_prefix}.weight"], "bias": sd[f"{torch_prefix}.bias"]}
+
+
+def convert_spconv_weight(w: np.ndarray) -> np.ndarray:
+    """spconv SubMConv3d weight → our [K³, Cin, Cout] layout.
+
+    spconv v2 stores [Cout, kz, ky, kx, Cin] (native layout); our flat index
+    is z-major (kz*K² + ky*K + kx) with [Cin, Cout] per tap.
+    """
+    cout, kz, ky, kx, cin = w.shape
+    return np.transpose(w, (1, 2, 3, 4, 0)).reshape(kz * ky * kx, cin, cout)

@@ -1,0 +1,95 @@
+"""Host-side data pipeline tests (pure NumPy)."""
+import numpy as np
+import pytest
+
+from fullysparsefusion_tpu.data import pipelines as P
+from fullysparsefusion_tpu.data.cbgs import class_balanced_indices
+from fullysparsefusion_tpu.data.av2 import yaw_to_quat_wxyz, boxes_to_av2_rows
+
+
+def test_transform_points_boxes_consistent():
+    rng = np.random.default_rng(0)
+    tp = P.sample_transform_params(rng)
+    pts = rng.normal(size=(100, 5)).astype(np.float32)
+    boxes = np.array([[1, 2, -1, 2, 3, 1.5, 0.3, 0.5, -0.2]], np.float32)
+    # a point at the box center must land at the transformed box center
+    pts[0, :3] = boxes[0, :3]
+    p2 = P.apply_points_transform(pts, tp)
+    b2 = P.apply_boxes_transform(boxes, tp)
+    np.testing.assert_allclose(p2[0, :3], b2[0, :3], atol=1e-5)
+    # dims scale
+    np.testing.assert_allclose(b2[0, 3:6], boxes[0, 3:6] * tp.scale, atol=1e-6)
+    # non-xyz channels untouched
+    np.testing.assert_array_equal(p2[:, 3:], pts[:, 3:])
+
+
+def test_flip_yaw_and_velocity():
+    tp = P.TransformParams(flip_x=True)
+    boxes = np.array([[1, 2, -1, 2, 3, 1.5, 0.3, 0.5, -0.2]], np.float32)
+    b2 = P.apply_boxes_transform(boxes, tp)
+    assert b2[0, 1] == -2 and b2[0, 6] == pytest.approx(-0.3)
+    assert b2[0, 8] == pytest.approx(0.2)
+
+
+def test_save_noaug_then_transform_preserves_raw():
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(50, 5)).astype(np.float32)
+    saved = P.save_noaug_channels(pts)
+    tp = P.sample_transform_params(rng)
+    live = P.apply_points_transform(saved[:, :-3], tp)
+    out = np.concatenate([live, saved[:, -3:]], 1)
+    np.testing.assert_array_equal(out[:, -3:], pts[:, :3])
+    assert not np.allclose(out[:, :3], pts[:, :3])
+
+
+def test_range_filter_alignment():
+    boxes = np.array([[0, 0, 0, 1, 1, 1, 0], [99, 99, 0, 1, 1, 1, 0]], np.float32)
+    labels = np.array([1, 2], np.int32)
+    noaug = boxes + 5
+    b, l, (na,) = P.filter_boxes_range(boxes, labels, (-50, -50, 50, 50), [noaug])
+    assert len(b) == 1 and l[0] == 1
+    np.testing.assert_array_equal(na, noaug[:1])
+
+
+def test_collate_fixed_shapes():
+    s1 = dict(
+        points=np.ones((30, 8), np.float32),
+        gt_boxes=np.ones((2, 9), np.float32),
+        gt_labels=np.array([0, 1], np.int32),
+        no_aug_gt_boxes=np.ones((2, 9), np.float32),
+    )
+    s2 = dict(
+        points=np.ones((45, 8), np.float32) * 2,
+        gt_boxes=np.ones((1, 9), np.float32),
+        gt_labels=np.array([3], np.int32),
+        no_aug_gt_boxes=np.ones((1, 9), np.float32),
+    )
+    out = P.collate_scene([s1, s2], n_points_cap=100, max_gt=4)
+    assert out["points"].shape == (100, 8)
+    assert out["valid"].sum() == 75
+    assert (out["batch_idx"][:30] == 0).all() and (out["batch_idx"][30:75] == 1).all()
+    assert out["gt_boxes"].shape == (2, 4, 10)
+    assert out["gt_boxes"][0, 0, 9] == 1.0  # vel-valid flag padded to 1
+    assert out["gt_valid"].sum() == 3
+    assert out["gt_labels"][1, 0] == 3
+
+
+def test_cbgs_balances_rare_classes():
+    rng = np.random.default_rng(0)
+    # class 0 in 90 samples, class 1 in 10
+    sample_classes = [[0]] * 90 + [[1]] * 10
+    idx = class_balanced_indices(sample_classes, 2, rng)
+    c1 = sum(1 for i in idx if i >= 90)
+    c0 = len(idx) - c1
+    assert c1 / max(c0, 1) > 0.5, (c0, c1)  # rare class heavily upsampled
+
+
+def test_av2_feather_rows():
+    boxes = np.array([[1, 2, -1, 4, 2, 1.5, np.pi / 2]], np.float32)
+    rows = boxes_to_av2_rows(boxes, np.array([0.9]), np.array([0]), ["Regular_vehicle"], "log1", 123)
+    r = rows[0]
+    assert r["tz_m"] == pytest.approx(-0.25)
+    assert r["category"] == "REGULAR_VEHICLE"
+    q = yaw_to_quat_wxyz(np.array([np.pi / 2]))[0]
+    assert q[0] == pytest.approx(np.cos(np.pi / 4))
+    assert q[3] == pytest.approx(np.sin(np.pi / 4))
