@@ -23,7 +23,7 @@ from flax import linen as nn
 from ..config import FSDConfig
 from ..ops.segment import SegmentInfo, unique_segments, segment_mean
 from ..ops.voxelize import voxel_coords, grid_dims, linearize_coords
-from ..ops.ccl import connected_components_bev
+from ..ops.ccl import connected_components_bev, connected_components_bev_batched
 from ..utils.containers import PointBatch, GroundTruth
 from ..utils.gather import masked_gather
 from .segmentor import VoteSegmentor, segmentor_targets, segmentor_loss
@@ -73,6 +73,31 @@ def group_sample(
     return tuple(fg_masks), tuple(centers)
 
 
+def _cluster_voxelize_group(
+    centers: jax.Array, batch_idx: jax.Array, valid: jax.Array,
+    group_id: int, cfg: FSDConfig,
+):
+    """Voxelize voted centers with the group's voxel size and drop
+    near-empty voxels; returns the grouping plus per-voxel CCL inputs."""
+    vsize = cfg.cluster_voxel_sizes[group_id]
+    pc_range = cfg.segmentor.point_cloud_range
+    vcap = cfg.caps.cluster_voxels_per_group
+    coords, in_range = voxel_coords(centers, vsize, pc_range)
+    ok = valid & in_range
+    dims = grid_dims(vsize, pc_range)
+    keys = linearize_coords(coords, batch_idx, dims)
+    seg = unique_segments(keys, ok, vcap)
+    ok = ok & (seg.seg_id < vcap)
+    cnt_per_point = seg.counts[seg.seg_id.clip(0, vcap - 1)]
+    ok = ok & (cnt_per_point >= cfg.min_cluster_points)
+    vox_nonempty = seg.seg_valid & (seg.counts >= cfg.min_cluster_points)
+    vox_centers = segment_mean(centers, seg.seg_id, vcap, counts=seg.counts)
+    vox_batch = segment_mean(
+        batch_idx.astype(jnp.float32), seg.seg_id, vcap, counts=seg.counts
+    ).astype(jnp.int32)
+    return seg, ok, vox_centers, vox_batch, vox_nonempty
+
+
 def cluster_one_group(
     centers: jax.Array,     # [K, 3] voted centers (compacted)
     batch_idx: jax.Array,   # [K]
@@ -88,29 +113,45 @@ def cluster_one_group(
 
     Returns (cluster_label [K] int32 (-1 invalid), point_valid [K]).
     """
-    vsize = cfg.cluster_voxel_sizes[group_id]
-    pc_range = cfg.segmentor.point_cloud_range
     vcap = cfg.caps.cluster_voxels_per_group
-    coords, in_range = voxel_coords(centers, vsize, pc_range)
-    ok = valid & in_range
-    dims = grid_dims(vsize, pc_range)
-    keys = linearize_coords(coords, batch_idx, dims)
-    seg = unique_segments(keys, ok, vcap)
-    ok = ok & (seg.seg_id < vcap)
-    # drop near-empty voxels (min_points)
-    cnt_per_point = seg.counts[seg.seg_id.clip(0, vcap - 1)]
-    ok = ok & (cnt_per_point >= cfg.min_cluster_points)
-    vox_nonempty = seg.seg_valid & (seg.counts >= cfg.min_cluster_points)
-    vox_centers = segment_mean(centers, seg.seg_id, vcap, counts=seg.counts)
-    vox_batch = segment_mean(
-        batch_idx.astype(jnp.float32), seg.seg_id, vcap, counts=seg.counts
-    ).astype(jnp.int32)
+    seg, ok, vox_centers, vox_batch, vox_nonempty = _cluster_voxelize_group(
+        centers, batch_idx, valid, group_id, cfg
+    )
     labels_vox = connected_components_bev(
         vox_centers[:, :2], vox_batch, vox_nonempty, cfg.connected_dists[group_id]
     )
     lab = labels_vox[seg.seg_id.clip(0, vcap - 1)]
     lab = jnp.where(ok, lab, -1)
     return lab.astype(jnp.int32), ok
+
+
+def cluster_all_groups(
+    centers_list, batch_list, valid_list, cfg: FSDConfig
+):
+    """All groups' CCL in ONE batched while_loop (coords pre-scaled by each
+    group's connected_dist so the threshold is uniform).
+
+    Returns per-group (label [K], point_valid [K]) lists.
+    """
+    vcap = cfg.caps.cluster_voxels_per_group
+    segs, oks, xys, vbs, vns = [], [], [], [], []
+    for g in range(cfg.num_groups):
+        seg, ok, vc, vb, vn = _cluster_voxelize_group(
+            centers_list[g], batch_list[g], valid_list[g], g, cfg
+        )
+        segs.append(seg)
+        oks.append(ok)
+        xys.append(vc[:, :2] / cfg.connected_dists[g])
+        vbs.append(vb)
+        vns.append(vn)
+    labels_vox = connected_components_bev_batched(
+        jnp.stack(xys), jnp.stack(vbs), jnp.stack(vns)
+    )
+    out = []
+    for g in range(cfg.num_groups):
+        lab = labels_vox[g][segs[g].seg_id.clip(0, vcap - 1)]
+        out.append((jnp.where(oks[g], lab, -1).astype(jnp.int32), oks[g]))
+    return out
 
 
 class FSDQueryBranch(nn.Module):
@@ -169,21 +210,22 @@ class FSDQueryBranch(nn.Module):
         # compact each group's foreground to a static capacity
         kcap = c.caps.fg_per_group
         g_points, g_feats, g_centers, g_batch, g_group, g_valid = [], [], [], [], [], []
-        g_labels = []
         feats_all = jnp.concatenate([red["logits"], red["votes"], red["feats"]], axis=1)
+        cen_list, bat_list, v_list = [], [], []
         for g in range(c.num_groups):
             idx, v = masked_gather(fg_masks[g], kcap)
-            pts_g = red["points"][idx]
-            cen_g = centers[g][idx]
-            bat_g = pv_batch[idx]
-            lab, ok = cluster_one_group(cen_g, bat_g, v, g, c)
-            g_points.append(pts_g)
+            g_points.append(red["points"][idx])
             g_feats.append(feats_all[idx])
-            g_centers.append(cen_g)
-            g_batch.append(bat_g)
+            cen_list.append(centers[g][idx])
+            bat_list.append(pv_batch[idx])
+            v_list.append(v)
             g_group.append(jnp.full((kcap,), g, jnp.int32))
-            g_valid.append(ok)
-            g_labels.append(lab)
+        # all groups' CCL in one batched while_loop
+        clustered = cluster_all_groups(cen_list, bat_list, v_list, c)
+        g_labels = [lab for lab, _ in clustered]
+        g_valid = [ok for _, ok in clustered]
+        g_centers = cen_list
+        g_batch = bat_list
 
         fg = ForegroundSet(
             points=jnp.concatenate(g_points),

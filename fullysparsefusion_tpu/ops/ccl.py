@@ -22,11 +22,29 @@ import jax.numpy as jnp
 from .segment import unique_segments
 
 
+def connected_components_bev_batched(
+    xy: jax.Array,        # [G, N, 2] pre-scaled so threshold is 1.0
+    batch_idx: jax.Array,  # [G, N]
+    valid: jax.Array,      # [G, N]
+    max_iters: int = 32,
+) -> jax.Array:
+    """Vectorized CCL over G independent problems (per class-group).
+
+    Distances must be pre-scaled so connectivity is ``dist < 1``; running all
+    groups in ONE while_loop removes G× sequential iteration overhead (the
+    loop runs until the slowest group converges).
+    Returns [G, N] compact labels (-1 invalid).
+    """
+    f = jax.vmap(lambda p, b, v: connected_components_bev(p, b, v, 1.0, max_iters))
+    return f(xy, batch_idx, valid)
+
+
 def connected_components_bev(
     xy: jax.Array,
     batch_idx: jax.Array,
     valid: jax.Array,
     dist: float,
+    max_iters: int = 64,
 ) -> jax.Array:
     """Compact per-node component ids, ordered by minimum node index.
 
@@ -68,7 +86,7 @@ def connected_components_bev(
 
     def cond(state):
         labels, prev, it = state
-        return (it < 64) & jnp.any(labels != prev)
+        return (it < max_iters) & jnp.any(labels != prev)
 
     def step(state):
         labels, _, it = state

@@ -74,7 +74,12 @@ def lookup(
     q_valid: jax.Array,
     dims,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Find rows of the table matching query coords. Returns (row_idx, hit)."""
+    """Find rows of the table matching query coords. Returns (row_idx, hit).
+
+    Accepts arbitrary leading dims on the queries; all queries go through a
+    SINGLE sort-based searchsorted — per-call overhead dominates the
+    alternative of one binary search per kernel offset on TPU.
+    """
     nx, ny, nz = dims
     in_grid = (
         (q_coords[..., 0] >= 0) & (q_coords[..., 0] < nx)
@@ -84,7 +89,7 @@ def lookup(
     ok = q_valid & in_grid
     safe_coords = jnp.clip(q_coords, 0, jnp.asarray(dims, jnp.int32) - 1)
     qk = jnp.where(ok, _linearize(safe_coords, q_batch, dims), INVALID_KEY - 1)
-    pos = jnp.searchsorted(sorted_keys, qk)
+    pos = jnp.searchsorted(sorted_keys, qk.ravel(), method="sort").reshape(qk.shape)
     pos = jnp.clip(pos, 0, sorted_keys.shape[0] - 1)
     hit = (sorted_keys[pos] == qk) & ok
     row = jnp.where(hit, perm[pos], 0)
@@ -123,13 +128,19 @@ def build_subm_rulebook(
     offsets = _kernel_offsets(kernel_size)
     center = tuple(k // 2 for k in kernel_size)
     sorted_keys, perm = build_lookup(st)
-    rows, hits = [], []
-    for (ox, oy, oz) in offsets:
-        off = jnp.asarray([ox - center[0], oy - center[1], oz - center[2]], jnp.int32)
-        row, hit = lookup(sorted_keys, perm, st.coords + off, st.batch, st.valid, st.dims)
-        rows.append(row)
-        hits.append(hit)
-    return Rulebook(rows=jnp.stack(rows), hits=jnp.stack(hits))
+    offs = jnp.asarray(
+        [[o[0] - center[0], o[1] - center[1], o[2] - center[2]] for o in offsets],
+        jnp.int32,
+    )  # [K³, 3]
+    q = st.coords[None, :, :] + offs[:, None, :]  # [K³, cap, 3]
+    k3 = offs.shape[0]
+    rows, hits = lookup(
+        sorted_keys, perm, q,
+        jnp.broadcast_to(st.batch, (k3,) + st.batch.shape),
+        jnp.broadcast_to(st.valid, (k3,) + st.valid.shape),
+        st.dims,
+    )
+    return Rulebook(rows=rows, hits=hits)
 
 
 def subm_conv_apply(
@@ -248,7 +259,8 @@ def sparse_conv3d(
         st, kernel_size, stride, padding, out_capacity
     )
     sorted_keys, perm = build_lookup(st)
-    offsets = _kernel_offsets(kernel_size)
+    offsets = jnp.asarray(_kernel_offsets(kernel_size), jnp.int32)  # [K³, 3]
+    k3 = offsets.shape[0]
     cout = w.shape[-1]
     cdtype = compute_dtype or st.feats.dtype
     f16 = st.feats.astype(cdtype)
@@ -256,10 +268,15 @@ def sparse_conv3d(
     out = jnp.zeros((out_capacity, cout), jnp.float32)
     sv = jnp.asarray(stride, jnp.int32)
     pv = jnp.asarray(padding, jnp.int32)
-    for ki, (ox, oy, oz) in enumerate(offsets):
-        q = out_coords * sv - pv + jnp.asarray([ox, oy, oz], jnp.int32)
-        row, hit = lookup(sorted_keys, perm, q, out_batch, out_valid, st.dims)
-        nf = f16[row] * hit[:, None].astype(cdtype)
+    q = out_coords[None, :, :] * sv - pv + offsets[:, None, :]  # [K³, cap, 3]
+    rows, hits = lookup(
+        sorted_keys, perm, q,
+        jnp.broadcast_to(out_batch, (k3,) + out_batch.shape),
+        jnp.broadcast_to(out_valid, (k3,) + out_valid.shape),
+        st.dims,
+    )
+    for ki in range(k3):
+        nf = f16[rows[ki]] * hits[ki][:, None].astype(cdtype)
         out = out + jnp.dot(nf, w16[ki], preferred_element_type=jnp.float32)
     if b is not None:
         out = out + b
@@ -288,7 +305,8 @@ def sparse_inverse_conv3d(
     t = y·s − p + k  ⇔  y = (t + p − k)/s (exact division required).
     """
     sorted_keys, perm = build_lookup(st)
-    offsets = _kernel_offsets(kernel_size)
+    offsets = jnp.asarray(_kernel_offsets(kernel_size), jnp.int32)
+    k3 = offsets.shape[0]
     cout = w.shape[-1]
     cap = target_coords.shape[0]
     cdtype = compute_dtype or st.feats.dtype
@@ -297,12 +315,16 @@ def sparse_inverse_conv3d(
     out = jnp.zeros((cap, cout), jnp.float32)
     sv = jnp.asarray(stride, jnp.int32)
     pv = jnp.asarray(padding, jnp.int32)
-    for ki, (ox, oy, oz) in enumerate(offsets):
-        num = target_coords + pv - jnp.asarray([ox, oy, oz], jnp.int32)
-        q, r = jnp.divmod(num, sv)
-        ok = target_valid & jnp.all(r == 0, axis=-1)
-        row, hit = lookup(sorted_keys, perm, q, target_batch, ok, st.dims)
-        nf = f16[row] * hit[:, None].astype(cdtype)
+    num = target_coords[None, :, :] + pv - offsets[:, None, :]  # [K³, cap, 3]
+    q, r = jnp.divmod(num, sv)
+    ok = target_valid[None, :] & jnp.all(r == 0, axis=-1)
+    rows, hits = lookup(
+        sorted_keys, perm, q,
+        jnp.broadcast_to(target_batch, (k3,) + target_batch.shape),
+        ok, st.dims,
+    )
+    for ki in range(k3):
+        nf = f16[rows[ki]] * hits[ki][:, None].astype(cdtype)
         out = out + jnp.dot(nf, w16[ki], preferred_element_type=jnp.float32)
     if b is not None:
         out = out + b

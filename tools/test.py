@@ -1,0 +1,140 @@
+"""Evaluation / inference CLI (reference tools/test.py + dist_test.sh
+counterpart): run detection over a dataset, export results (nuScenes JSON /
+AV2 feather), and optionally compute metrics with the built-in evaluator.
+
+Usage:
+  python tools/test.py --config CONFIG --checkpoint CKPT \
+      --info-pkl data/nuscenes_infos_val.pkl --data-root data/nuscenes \
+      --out results/dets.json
+  python tools/test.py --synthetic    # smoke inference on the synthetic scene
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config")
+    p.add_argument("--checkpoint")
+    p.add_argument("--info-pkl")
+    p.add_argument("--data-root")
+    p.add_argument("--out", default="results/detections.json")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--eval", action="store_true", help="run the built-in evaluator")
+    p.add_argument("--max-samples", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force host CPU backend")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fullysparsefusion_tpu.config import tiny_fsd_config
+    from fullysparsefusion_tpu.models.fsd import SingleStageFSD
+
+    if args.synthetic:
+        from fixtures import make_scene
+
+        cfg = tiny_fsd_config()
+        model = SingleStageFSD(cfg=cfg)
+        pb, gt = make_scene(seed=0, n_cap=cfg.caps.points, max_gt=cfg.caps.max_gt)
+        vars_ = jax.jit(
+            lambda k: model.init(
+                k, pb, 2, None, False, method=lambda m, *a, **kw: m(*a, **kw)
+            )
+        )(jax.random.key(0))
+        fwd = jax.jit(lambda pb: model.apply(vars_, pb, 2, None, False))
+        out = fwd(pb)
+        res = model.apply(vars_, out, 2, method=SingleStageFSD.get_bboxes)
+        n = int(res.valid.sum())
+        print(json.dumps({"mode": "synthetic", "detections": n}))
+        return
+
+    assert args.config and args.info_pkl and args.data_root
+    from fullysparsefusion_tpu.config_compat import load_fsf_config
+    from fullysparsefusion_tpu.data.nuscenes import NuScenesReader
+    from fullysparsefusion_tpu.train import load_checkpoint
+    from fullysparsefusion_tpu.utils.containers import PointBatch
+    from fullysparsefusion_tpu.eval.detection import DetectionRecord, evaluate_detections
+
+    fsf_cfg = load_fsf_config(args.config)
+    cfg = fsf_cfg.fsd
+    model = SingleStageFSD(cfg=cfg)
+    reader = NuScenesReader(
+        info_path=args.info_pkl, data_root=args.data_root,
+        class_names=cfg.class_names, training=False, with_cbgs=False,
+    )
+
+    from fullysparsefusion_tpu.data.pipelines import collate_scene
+
+    sample0 = reader.sample(0, augment=False)
+    batch0 = collate_scene([sample0], cfg.caps.points, cfg.caps.max_gt)
+    pb0 = PointBatch(
+        points=jnp.asarray(batch0["points"]),
+        batch_idx=jnp.asarray(batch0["batch_idx"]),
+        valid=jnp.asarray(batch0["valid"]),
+    )
+    vars_ = jax.jit(
+        lambda k: model.init(
+            k, pb0, 1, None, False, method=lambda m, *a, **kw: m(*a, **kw)
+        )
+    )(jax.random.key(0))
+    if args.checkpoint:
+        vars_ = load_checkpoint(args.checkpoint, vars_)
+
+    fwd = jax.jit(lambda pb: model.apply(vars_, pb, 1, None, False))
+
+    records, all_results = [], []
+    n_total = min(len(reader), args.max_samples) if args.max_samples else len(reader)
+    t0 = time.time()
+    for i in range(n_total):
+        s = reader.sample(i, augment=False)
+        batch = collate_scene([s], cfg.caps.points, cfg.caps.max_gt)
+        pb = PointBatch(
+            points=jnp.asarray(batch["points"]),
+            batch_idx=jnp.asarray(batch["batch_idx"]),
+            valid=jnp.asarray(batch["valid"]),
+        )
+        out = fwd(pb)
+        res = model.apply(vars_, out, 1, method=SingleStageFSD.get_bboxes)
+        v = np.asarray(res.valid[0])
+        boxes = np.asarray(res.boxes[0])[v]
+        scores = np.asarray(res.scores[0])[v]
+        labels = np.asarray(res.labels[0])[v]
+        all_results.append(
+            dict(token=s["token"], boxes=boxes.tolist(), scores=scores.tolist(),
+                 labels=labels.tolist())
+        )
+        if args.eval:
+            records.append(
+                DetectionRecord(
+                    boxes=boxes, scores=scores, labels=labels,
+                    gt_boxes=s["gt_boxes"], gt_labels=s["gt_labels"],
+                )
+            )
+    dt = (time.time() - t0) / max(n_total, 1)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(all_results, f)
+    print(json.dumps({"samples": n_total, "sec_per_sample": round(dt, 3), "out": args.out}))
+    if args.eval:
+        metrics = evaluate_detections(records, len(cfg.class_names), cfg.class_names)
+        print(json.dumps(metrics, indent=2))
+
+
+if __name__ == "__main__":
+    main()
