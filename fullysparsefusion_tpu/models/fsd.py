@@ -303,7 +303,7 @@ class SingleStageFSD(nn.Module):
         train: bool = False,
     ):
         c = self.cfg
-        seg_out = self.segmentor(pb, train)
+        seg_out = self.segmentor(pb, train, batch_size)
         result = self.query_branch(pb, seg_out, batch_size, train)
         result["seg_out"] = seg_out
 

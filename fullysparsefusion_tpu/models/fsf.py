@@ -146,7 +146,7 @@ class FSF(nn.Module):
         pb_inner = PointBatch(points=points, batch_idx=pb.batch_idx, valid=pb.valid)
 
         # ① segmentation with image enhancement
-        seg_feats, pt_valid = self.seg_core(pb_inner, train)
+        seg_feats, pt_valid = self.seg_core(pb_inner, train, batch_size)
         obj_ids = gather_point_instances(noaug_xyz, pb.batch_idx, pt_valid, cam)
         cls_scores_2d = per_point_class_scores(obj_ids, pb.batch_idx, cam)
         seg_feats = seg_feats + self.seg_enhance_mlp(cls_scores_2d, pt_valid, train)

@@ -45,7 +45,7 @@ class SegmentorCore(nn.Module):
     caps: Capacities
 
     @nn.compact
-    def __call__(self, pb: PointBatch, train: bool = False):
+    def __call__(self, pb: PointBatch, train: bool = False, batch_size: int = 0):
         c = self.cfg
         xyz = pb.xyz
         seg, _, vox_batch, vox_coords = voxelize_points(
@@ -63,7 +63,7 @@ class SegmentorCore(nn.Module):
         dims = grid_dims(c.voxel_size, c.point_cloud_range)
         st = SparseTensor(
             feats=voxel_feats, coords=vox_coords, batch=vox_batch,
-            valid=seg.seg_valid, dims=dims,
+            valid=seg.seg_valid, dims=dims, batch_size=batch_size,
         )
         unet_out = SparseUNet(
             base_channels=c.unet_base_channels,
@@ -120,8 +120,12 @@ class VoteSegmentor(nn.Module):
     caps: Capacities
 
     @nn.compact
-    def __call__(self, pb: PointBatch, train: bool = False) -> Dict[str, jax.Array]:
-        seg_feats, pt_valid = SegmentorCore(cfg=self.cfg, caps=self.caps)(pb, train)
+    def __call__(
+        self, pb: PointBatch, train: bool = False, batch_size: int = 0
+    ) -> Dict[str, jax.Array]:
+        seg_feats, pt_valid = SegmentorCore(cfg=self.cfg, caps=self.caps)(
+            pb, train, batch_size
+        )
         return VoteSegHead(cfg=self.cfg)(seg_feats, pt_valid, train)
 
 

@@ -46,10 +46,60 @@ class SparseTensor:
     batch: jax.Array   # [cap] int32
     valid: jax.Array   # [cap] bool
     dims: Tuple[int, int, int] = struct.field(pytree_node=False)  # (nx,ny,nz)
+    # static batch size; 0 = unknown (disables the dense lookup table)
+    batch_size: int = struct.field(pytree_node=False, default=0)
 
     @property
     def capacity(self) -> int:
         return self.feats.shape[0]
+
+
+# Use a dense row table when batch_size · nx · ny · nz fits this budget
+# (int32 cells). 64M cells = 256 MB — cheap vs. the ~20 ms a 1.8M-element
+# sort-based lookup costs on each of the UNet's 13 neighbor maps.
+DENSE_LOOKUP_MAX_CELLS = 96 * 1024 * 1024
+
+
+def _use_dense(st: SparseTensor) -> bool:
+    nx, ny, nz = st.dims
+    return (
+        st.batch_size > 0
+        and st.batch_size * nx * ny * nz <= DENSE_LOOKUP_MAX_CELLS
+    )
+
+
+def build_dense_table(st: SparseTensor) -> jax.Array:
+    """Dense cell → (row + 1) table; 0 = empty. O(1) neighbor lookups."""
+    nx, ny, nz = st.dims
+    cells = st.batch_size * nx * ny * nz
+    keys = _linearize(st.coords, st.batch, st.dims)
+    keys = jnp.where(st.valid, jnp.clip(keys, 0, cells - 1), cells)  # trash slot
+    rows = jnp.where(st.valid, jnp.arange(st.capacity, dtype=jnp.int32) + 1, 0)
+    table = jnp.zeros((cells + 1,), jnp.int32).at[keys].max(rows)
+    return table
+
+
+def lookup_dense(
+    table: jax.Array,
+    st_dims,
+    batch_size: int,
+    q_coords: jax.Array,
+    q_batch: jax.Array,
+    q_valid: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    nx, ny, nz = st_dims
+    in_grid = (
+        (q_coords[..., 0] >= 0) & (q_coords[..., 0] < nx)
+        & (q_coords[..., 1] >= 0) & (q_coords[..., 1] < ny)
+        & (q_coords[..., 2] >= 0) & (q_coords[..., 2] < nz)
+        & (q_batch >= 0) & (q_batch < batch_size)
+    )
+    ok = q_valid & in_grid
+    safe = jnp.clip(q_coords, 0, jnp.asarray(st_dims, jnp.int32) - 1)
+    qk = _linearize(safe, jnp.clip(q_batch, 0, batch_size - 1), st_dims)
+    val = table[qk]
+    hit = ok & (val > 0)
+    return jnp.where(hit, val - 1, 0), hit
 
 
 def _linearize(coords: jax.Array, batch: jax.Array, dims) -> jax.Array:
@@ -96,6 +146,15 @@ def lookup(
     return row, hit
 
 
+def neighbor_lookup(st: SparseTensor, q_coords, q_batch, q_valid):
+    """Dense-table O(1) lookup when the grid fits, else sorted binary search."""
+    if _use_dense(st):
+        table = build_dense_table(st)
+        return lookup_dense(table, st.dims, st.batch_size, q_coords, q_batch, q_valid)
+    sorted_keys, perm = build_lookup(st)
+    return lookup(sorted_keys, perm, q_coords, q_batch, q_valid, st.dims)
+
+
 def _kernel_offsets(kernel_size: Tuple[int, int, int]):
     """Static list of (kx,ky,kz) in spconv order (z-major flat index)."""
     kx, ky, kz = kernel_size
@@ -127,18 +186,16 @@ def build_subm_rulebook(
 ) -> Rulebook:
     offsets = _kernel_offsets(kernel_size)
     center = tuple(k // 2 for k in kernel_size)
-    sorted_keys, perm = build_lookup(st)
     offs = jnp.asarray(
         [[o[0] - center[0], o[1] - center[1], o[2] - center[2]] for o in offsets],
         jnp.int32,
     )  # [K³, 3]
     q = st.coords[None, :, :] + offs[:, None, :]  # [K³, cap, 3]
     k3 = offs.shape[0]
-    rows, hits = lookup(
-        sorted_keys, perm, q,
+    rows, hits = neighbor_lookup(
+        st, q,
         jnp.broadcast_to(st.batch, (k3,) + st.batch.shape),
         jnp.broadcast_to(st.valid, (k3,) + st.valid.shape),
-        st.dims,
     )
     return Rulebook(rows=rows, hits=hits)
 
@@ -258,7 +315,6 @@ def sparse_conv3d(
     out_coords, out_batch, out_valid, out_dims = downsample_coords(
         st, kernel_size, stride, padding, out_capacity
     )
-    sorted_keys, perm = build_lookup(st)
     offsets = jnp.asarray(_kernel_offsets(kernel_size), jnp.int32)  # [K³, 3]
     k3 = offsets.shape[0]
     cout = w.shape[-1]
@@ -269,11 +325,10 @@ def sparse_conv3d(
     sv = jnp.asarray(stride, jnp.int32)
     pv = jnp.asarray(padding, jnp.int32)
     q = out_coords[None, :, :] * sv - pv + offsets[:, None, :]  # [K³, cap, 3]
-    rows, hits = lookup(
-        sorted_keys, perm, q,
+    rows, hits = neighbor_lookup(
+        st, q,
         jnp.broadcast_to(out_batch, (k3,) + out_batch.shape),
         jnp.broadcast_to(out_valid, (k3,) + out_valid.shape),
-        st.dims,
     )
     for ki in range(k3):
         nf = f16[rows[ki]] * hits[ki][:, None].astype(cdtype)
@@ -282,7 +337,8 @@ def sparse_conv3d(
         out = out + b
     out = out * out_valid[:, None].astype(out.dtype)
     return SparseTensor(
-        feats=out, coords=out_coords, batch=out_batch, valid=out_valid, dims=out_dims
+        feats=out, coords=out_coords, batch=out_batch, valid=out_valid,
+        dims=out_dims, batch_size=st.batch_size,
     )
 
 
@@ -304,7 +360,6 @@ def sparse_inverse_conv3d(
     Inverts a paired strided conv: target t receives from coarse y where
     t = y·s − p + k  ⇔  y = (t + p − k)/s (exact division required).
     """
-    sorted_keys, perm = build_lookup(st)
     offsets = jnp.asarray(_kernel_offsets(kernel_size), jnp.int32)
     k3 = offsets.shape[0]
     cout = w.shape[-1]
@@ -318,10 +373,10 @@ def sparse_inverse_conv3d(
     num = target_coords[None, :, :] + pv - offsets[:, None, :]  # [K³, cap, 3]
     q, r = jnp.divmod(num, sv)
     ok = target_valid[None, :] & jnp.all(r == 0, axis=-1)
-    rows, hits = lookup(
-        sorted_keys, perm, q,
+    rows, hits = neighbor_lookup(
+        st, q,
         jnp.broadcast_to(target_batch, (k3,) + target_batch.shape),
-        ok, st.dims,
+        ok,
     )
     for ki in range(k3):
         nf = f16[rows[ki]] * hits[ki][:, None].astype(cdtype)
@@ -335,4 +390,5 @@ def sparse_inverse_conv3d(
         batch=target_batch,
         valid=target_valid,
         dims=target_dims,
+        batch_size=st.batch_size,
     )
