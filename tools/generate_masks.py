@@ -1,0 +1,163 @@
+"""Offline 2D instance-mask pre-inference.
+
+Counterpart of the reference's tools/mask_tools/save_mask_nusc.py: run a 2D
+instance-segmentation model over every camera image and write, per sample
+token, one PNG per (camera, class) whose pixels carry instance ids
+(anno row + 1) plus an ``anno.json`` table. FSF consumes these offline.
+
+The 2D model is pluggable (``--backend``):
+  * ``torch-maskrcnn``: torchvision Mask R-CNN (CPU torch is available in
+    this environment) — a stand-in until the HTC JAX port (phase 2, see
+    PARITY.md known gaps);
+  * ``precomputed``: convert an existing per-sample instance-segmentation
+    JSON (e.g. exported from the reference's HTC run) into the PNG+JSON
+    layout;
+  * ``random``: synthetic masks for pipeline smoke tests.
+
+Painting follows the reference scheme: global top-K detections per sample
+by score, higher-score instances painted last (score-argmax layering),
+pixel value = anno row + 1.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def paint_sample(
+    detections,  # list of dicts: cam_id, category, score, bbox [4], mask [H,W] bool
+    num_cams: int,
+    num_classes: int,
+    img_hw,
+    max_anno: int = 250,
+):
+    """Detections → ({(cam, cls): mask_png}, anno rows)."""
+    h, w = img_hw
+    dets = sorted(detections, key=lambda d: -d["score"])[:max_anno]
+    dets = sorted(dets, key=lambda d: d["score"])  # paint low → high
+    masks = {}
+    annos = []
+    for row, d in enumerate(sorted(dets, key=lambda d: -d["score"])):
+        annos.append(
+            dict(
+                bbox=[float(x) for x in d["bbox"]],
+                score=float(d["score"]),
+                category=int(d["category"]),
+                cam_id=int(d["cam_id"]),
+                obj_id=row,
+            )
+        )
+    # paint in ascending score so higher scores overwrite
+    order = {id(d): i for i, d in enumerate(sorted(dets, key=lambda d: -d["score"]))}
+    for d in sorted(dets, key=lambda x: x["score"]):
+        key = (int(d["cam_id"]), int(d["category"]))
+        if key not in masks:
+            masks[key] = np.zeros((h, w), np.int32)
+        masks[key][d["mask"]] = order[id(d)] + 1
+    return masks, annos
+
+
+def save_sample(out_dir, token, masks, annos):
+    from PIL import Image
+
+    sdir = os.path.join(out_dir, token)
+    os.makedirs(sdir, exist_ok=True)
+    for (cam, cls), m in masks.items():
+        Image.fromarray(m.astype(np.uint8)).save(os.path.join(sdir, f"{cam}_{cls}.png"))
+    with open(os.path.join(sdir, "anno.json"), "w") as f:
+        json.dump(annos, f)
+
+
+def backend_random(rng, num_cams, num_classes, img_hw, n=10):
+    h, w = img_hw
+    out = []
+    for _ in range(n):
+        cam = int(rng.integers(num_cams))
+        cls = int(rng.integers(num_classes))
+        x1, y1 = rng.integers(0, w - 40), rng.integers(0, h - 40)
+        bw, bh = rng.integers(20, 40), rng.integers(20, 40)
+        mask = np.zeros((h, w), bool)
+        mask[y1:y1 + bh, x1:x1 + bw] = True
+        out.append(
+            dict(cam_id=cam, category=cls, score=float(rng.random()),
+                 bbox=[float(x1), float(y1), float(x1 + bw), float(y1 + bh)],
+                 mask=mask)
+        )
+    return out
+
+
+def backend_torch_maskrcnn(images, score_thr=0.3, class_map=None):
+    """images: list of [H, W, 3] uint8 per camera."""
+    import torch
+    import torchvision
+
+    model = torchvision.models.detection.maskrcnn_resnet50_fpn(weights="DEFAULT")
+    model.eval()
+    out = []
+    with torch.no_grad():
+        for cam_id, img in enumerate(images):
+            t = torch.from_numpy(img).permute(2, 0, 1).float() / 255.0
+            pred = model([t])[0]
+            for j in range(len(pred["scores"])):
+                s = float(pred["scores"][j])
+                if s < score_thr:
+                    continue
+                coco_cls = int(pred["labels"][j])
+                cls = class_map.get(coco_cls, -1) if class_map else coco_cls
+                if cls < 0:
+                    continue
+                out.append(
+                    dict(
+                        cam_id=cam_id, category=cls, score=s,
+                        bbox=[float(x) for x in pred["boxes"][j]],
+                        mask=(pred["masks"][j, 0] > 0.5).numpy(),
+                    )
+                )
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="random",
+                    choices=["random", "torch-maskrcnn", "precomputed"])
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--tokens", nargs="+", default=["sample0"])
+    ap.add_argument("--num-cams", type=int, default=6)
+    ap.add_argument("--num-classes", type=int, default=10)
+    ap.add_argument("--img-h", type=int, default=900)
+    ap.add_argument("--img-w", type=int, default=1600)
+    ap.add_argument("--precomputed-json", help="for --backend precomputed")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    for token in args.tokens:
+        if args.backend == "random":
+            dets = backend_random(
+                rng, args.num_cams, args.num_classes, (args.img_h, args.img_w)
+            )
+        elif args.backend == "precomputed":
+            with open(args.precomputed_json) as f:
+                raw = json.load(f)[token]
+            dets = []
+            for d in raw:
+                m = np.zeros((args.img_h, args.img_w), bool)
+                x1, y1, x2, y2 = [int(v) for v in d["bbox"]]
+                m[y1:y2, x1:x2] = True  # bbox-mask fallback when no RLE
+                dets.append(dict(d, mask=m))
+        else:
+            raise SystemExit("torch-maskrcnn backend needs --images plumbing per dataset")
+        masks, annos = paint_sample(
+            dets, args.num_cams, args.num_classes, (args.img_h, args.img_w)
+        )
+        save_sample(args.out_dir, token, masks, annos)
+        print(f"{token}: {len(annos)} instances, {len(masks)} mask planes")
+
+
+if __name__ == "__main__":
+    main()

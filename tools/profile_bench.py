@@ -1,4 +1,6 @@
-"""Stage-by-stage timing of the flagship forward on the current device."""
+"""Single-stage timing of the flagship forward (one jit per invocation —
+remote compiles are slow, so pick the stage via --stage)."""
+import argparse
 import os
 import sys
 import time
@@ -6,56 +8,57 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
-import jax
-import jax.numpy as jnp
-
-from bench import build_bench_model
-
-
-def timeit(fn, *args, n=5, label=""):
-    t0 = time.time()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    compile_t = time.time() - t0
-    t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / n * 1000
-    print(f"{label:40s} compile {compile_t:6.1f}s   run {dt:8.1f} ms")
-    return out
+import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="full",
+                    choices=["seg", "fg", "query", "full"])
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    from bench import build_bench_model
+
     cfg, model, vars_, pb = build_bench_model()
-    from fullysparsefusion_tpu.models.fsd import SingleStageFSD
 
-    def seg_only(pb):
-        return model.apply(vars_, pb, 1, False, method=lambda m, pb, bs, tr: m.segmentor(pb, tr))
+    if args.stage == "seg":
+        fn = lambda pb: model.apply(
+            vars_, pb, 1, False, method=lambda m, pb, bs, tr: m.segmentor(pb, tr, bs)
+        )["seg_logits"]
+    elif args.stage == "fg":
+        def fn(pb):
+            seg_out = model.apply(
+                vars_, pb, 1, False, method=lambda m, pb, bs, tr: m.segmentor(pb, tr, bs)
+            )
+            fg, cseg, cxyz, cb, cg, cv = model.apply(
+                vars_, pb, seg_out, 1,
+                method=lambda m, pb, so, bs: m.query_branch.extract_foreground(pb, so, bs),
+            )
+            return cxyz
+    elif args.stage == "query":
+        def fn(pb):
+            seg_out = model.apply(
+                vars_, pb, 1, False, method=lambda m, pb, bs, tr: m.segmentor(pb, tr, bs)
+            )
+            return model.apply(
+                vars_, pb, seg_out, 1, False,
+                method=lambda m, pb, so, bs, tr: m.query_branch(pb, so, bs, tr),
+            )["cls_logits"]
+    else:
+        fn = lambda pb: model.apply(vars_, pb, 1, None, False)["cls_logits"]
 
-    seg_out = timeit(jax.jit(seg_only), pb, label="segmentor (VFE+UNet+neck+head)")
-
-    def fg_only(pb, seg_out):
-        return model.apply(
-            vars_, pb, seg_out, 1, False,
-            method=lambda m, pb, so, bs, tr: m.query_branch.extract_foreground(pb, so, bs),
-        )
-
-    fg_out = timeit(jax.jit(fg_only), pb, seg_out, label="foreground+clustering")
-
-    def sir_head(pb, seg_out):
-        return model.apply(
-            vars_, pb, seg_out, 1, False,
-            method=lambda m, pb, so, bs, tr: m.query_branch(pb, so, bs, tr),
-        )
-
-    timeit(jax.jit(sir_head), pb, seg_out, label="query branch (cluster+SIR+head)")
-
-    def full(pb):
-        out = model.apply(vars_, pb, 1, None, False)
-        return out["cls_logits"]
-
-    timeit(jax.jit(full), pb, label="full forward")
+    jfn = jax.jit(fn)
+    t0 = time.time()
+    np.asarray(jfn(pb))
+    print(f"stage={args.stage} compile {time.time()-t0:.1f}s")
+    t0 = time.time()
+    for _ in range(args.iters):
+        r = jfn(pb)
+    jax.block_until_ready(r)
+    np.asarray(r[:1])
+    print(f"stage={args.stage} run {(time.time()-t0)/args.iters*1000:.1f} ms")
 
 
 if __name__ == "__main__":
