@@ -106,18 +106,17 @@ def total_loss(losses: Dict[str, jax.Array]) -> jax.Array:
     return sum(v for k, v in losses.items() if k.startswith("loss"))
 
 
-def make_train_step(model, tx, batch_size: int) -> Callable:
-    """Single-device (or GSPMD-sharded) jitted train step."""
+def make_generic_train_step(forward, tx) -> Callable:
+    """Jitted train step for any model.
+
+    ``forward(params, batch_stats, *batch) -> (losses dict, new_batch_stats)``.
+    """
 
     @jax.jit
-    def step(state: TrainState, pb, gt):
+    def step(state: TrainState, *batch):
         def loss_fn(params):
-            out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                pb, batch_size, gt, True, mutable=["batch_stats"],
-            )
-            losses = out["losses"]
-            return total_loss(losses), (losses, updates["batch_stats"])
+            losses, new_stats = forward(params, state.batch_stats, *batch)
+            return total_loss(losses), (losses, new_stats)
 
         (loss, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -133,27 +132,51 @@ def make_train_step(model, tx, batch_size: int) -> Callable:
     return step
 
 
-def make_sharded_train_step(
-    model, tx, mesh: Mesh, per_device_batch: int, axis: str = "dp"
+def fsd_forward_fn(model, batch_size: int):
+    def forward(params, batch_stats, pb, gt):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pb, batch_size, gt, True, mutable=["batch_stats"],
+        )
+        return out["losses"], updates["batch_stats"]
+
+    return forward
+
+
+def fsf_forward_fn(model, batch_size: int):
+    def forward(params, batch_stats, pb, cam, gt, no_aug_gt):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pb, cam, batch_size, gt, no_aug_gt, True, mutable=["batch_stats"],
+        )
+        return out["losses"], updates["batch_stats"]
+
+    return forward
+
+
+def make_train_step(model, tx, batch_size: int) -> Callable:
+    """Single-device (or GSPMD-sharded) jitted train step for FSD."""
+    return make_generic_train_step(fsd_forward_fn(model, batch_size), tx)
+
+
+def make_generic_sharded_train_step(
+    forward, tx, mesh: Mesh, n_batch_args: int, axis: str = "dp"
 ) -> Callable:
     """Data-parallel train step: shard_map over the mesh's ``dp`` axis.
 
-    Each device consumes its local PointBatch/GroundTruth shard (arrays are
-    sharded on axis 0); gradients are ``pmean``-reduced — the TPU equivalent
-    of DDP's NCCL all-reduce, but expressed as one collective XLA schedules
-    over ICI. Model state (params/opt) is replicated.
+    Each device consumes its local batch shard (arrays sharded on axis 0);
+    gradients are ``pmean``-reduced — the TPU equivalent of DDP's NCCL
+    all-reduce, but expressed as one collective XLA schedules over ICI.
+    Model state (params/opt) is replicated; BN statistics sync through the
+    same axis.
     """
     from ..models import layers as L
 
-    def local_step(state: TrainState, pb, gt):
+    def local_step(state: TrainState, *batch):
         def loss_fn(params):
             with L.bn_axis(axis):
-                out, updates = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    pb, per_device_batch, gt, True, mutable=["batch_stats"],
-                )
-            losses = out["losses"]
-            return total_loss(losses), (losses, updates["batch_stats"])
+                losses, new_stats = forward(params, state.batch_stats, *batch)
+            return total_loss(losses), (losses, new_stats)
 
         (loss, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -171,14 +194,28 @@ def make_sharded_train_step(
         return new_state, loss, losses
 
     rep = P()
-    shard0 = P(axis)
-    state_spec = rep
-    data_spec = shard0
-
     smapped = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(state_spec, data_spec, data_spec),
-        out_specs=(state_spec, rep, rep),
+        in_specs=(rep,) + (P(axis),) * n_batch_args,
+        out_specs=(rep, rep, rep),
     )
     return jax.jit(smapped)
+
+
+def make_sharded_train_step(
+    model, tx, mesh: Mesh, per_device_batch: int, axis: str = "dp"
+) -> Callable:
+    """DP train step for the FSD model (PointBatch + GroundTruth shards)."""
+    return make_generic_sharded_train_step(
+        fsd_forward_fn(model, per_device_batch), tx, mesh, 2, axis
+    )
+
+
+def make_fsf_sharded_train_step(
+    model, tx, mesh: Mesh, per_device_batch: int, axis: str = "dp"
+) -> Callable:
+    """DP train step for the full FSF model (+ CameraData and no-aug GT)."""
+    return make_generic_sharded_train_step(
+        fsf_forward_fn(model, per_device_batch), tx, mesh, 4, axis
+    )
