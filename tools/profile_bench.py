@@ -73,8 +73,10 @@ def main():
             )
             uparams = unet.init(jax.random.key(0), st0, False)
 
-            def fn(pb):  # pb unused; fixed voxel set
-                return unet.apply(uparams, st0, False)
+            def fn(st):
+                return unet.apply(uparams, st, False)
+
+            pb = st0  # pass the sparse tensor as the jitted argument
 
     elif args.stage == "seg":
         fn = lambda pb: model.apply(
