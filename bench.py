@@ -1,11 +1,16 @@
-"""Benchmark: frames/sec/chip for flagship inference at nuScenes scale.
+"""Benchmark: frames/sec/chip for flagship FSF inference at nuScenes scale.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no speed numbers (SURVEY.md §6); BASELINE.json's
 target is ≥2× an A100's frames/sec on FSF nuScenes inference. We use 10 fps
-as the working A100 estimate for `vs_baseline` (FSD-class detectors run
-~60-100 ms/frame on A100-class GPUs) until a measured baseline lands.
+as the working A100 estimate for `vs_baseline` (FSF runs its two-branch
+fusion + cascade refinement at ~100 ms/frame-class latencies on A100-class
+GPUs) until a measured baseline lands.
+
+Scene: synthetic nuScenes-scale input — 131k points (10-sweep scale after
+range filter), 6 cameras with 450×800 instance masks (2× downsampled from
+900×1600), batch 1, full-size UNet/SIR/head channels.
 """
 import json
 import os
@@ -23,70 +28,80 @@ A100_FPS_ESTIMATE = 10.0
 def build_bench_model():
     import jax
     from fullysparsefusion_tpu.config import (
-        FSDConfig, VoteSegmentorConfig, HeadConfig, Capacities,
+        FSDConfig, FSFConfig, Capacities,
     )
-    from fullysparsefusion_tpu.models.fsd import SingleStageFSD
+    from fullysparsefusion_tpu.models.fsf import FSF
 
-    # nuScenes-scale single-frame inference (batch 1): ~150k points (the
-    # 10-sweep pipeline yields 200-300k raw; after range filtering and
-    # static bucketing 150k is representative), full UNet channels.
     caps = Capacities(
         points=131072, voxels=65536, prevox=65536,
         fg_per_group=4096, cluster_voxels_per_group=1024, clusters=1024,
-        max_gt=128,
+        max_gt=128, frustum_points=16384, frustum_objects=256,
+        roi_points=32768, max_roi_points=512,
     )
-    cfg = FSDConfig(caps=caps)
+    cfg = FSFConfig(fsd=FSDConfig(caps=caps))
 
-    from fixtures import make_scene
+    from fixtures import make_scene, make_camera_data, with_noaug_channels
 
     pb, gt = make_scene(
         seed=0, batch_size=1, boxes_per_sample=32, pts_per_box=200,
         bg_points=100000, n_cap=caps.points, max_gt=caps.max_gt, extent=45.0,
     )
-    model = SingleStageFSD(cfg=cfg)
+    cam = make_camera_data(
+        pb, gt, batch_size=1, num_cams=cfg.num_cams,
+        num_classes=cfg.num_classes, img_h=450, img_w=800, max_anno=250,
+        fx=400.0,
+    )
+    pb = with_noaug_channels(pb)
+    model = FSF(cfg=cfg)
     # Init on the host CPU (eager init over the axon tunnel is one RPC per
     # op — minutes), then transfer the pytree to the TPU once.
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         pb_cpu = jax.device_put(pb, cpu)
+        cam_cpu = jax.device_put(cam, cpu)
         vars_ = jax.jit(
-            lambda k, p: SingleStageFSD(cfg=cfg).init(
-                k, p, 1, None, False, method=lambda m, *a, **k_: m(*a, **k_)
+            lambda k, p, c: FSF(cfg=cfg).init(
+                k, p, c, 1, None, None, False,
+                method=lambda m, *a, **k_: m(*a, **k_),
             )
-        )(jax.random.key(0), pb_cpu)
+        )(jax.random.key(0), pb_cpu, cam_cpu)
     dev = jax.devices()[0]
     vars_ = jax.device_put(vars_, dev)
     pb = jax.device_put(pb, dev)
-    return cfg, model, vars_, pb
+    cam = jax.device_put(cam, dev)
+    return cfg, model, vars_, pb, cam
 
 
 def main():
     import jax
 
-    cfg, model, vars_, pb = build_bench_model()
+    cfg, model, vars_, pb, cam = build_bench_model()
 
     @jax.jit
-    def fwd(pb):
-        out = model.apply(vars_, pb, 1, None, False)
-        return out["cls_logits"], out["reg_preds"], out["cluster_xyz"], out["cluster_valid"]
+    def fwd(vars_, pb, cam):
+        # params as arguments — closed-over pytrees become HLO constants and
+        # blow past the remote-compile request size limit
+        out = model.apply(vars_, pb, cam, 1, None, None, False)
+        fin = out["final"]
+        return fin["cls_logits"], fin["reg_preds"], fin["centers"], fin["q_valid"]
 
     t0 = time.time()
-    jax.block_until_ready(fwd(pb))
+    r = fwd(vars_, pb, cam)
+    np.asarray(r[0][:1])  # hard sync through the tunnel
     compile_s = time.time() - t0
 
-    # steady state
     n_iter = 20
     t0 = time.time()
     for _ in range(n_iter):
-        out = fwd(pb)
-    jax.block_until_ready(out)
+        out = fwd(vars_, pb, cam)
+    np.asarray(out[0][:1])
     dt = (time.time() - t0) / n_iter
     fps = 1.0 / dt
 
     print(
         json.dumps(
             {
-                "metric": "frames/sec/chip FSF nuScenes val inference (synthetic scene, LiDAR branch)",
+                "metric": "frames/sec/chip FSF nuScenes val inference (full fusion, synthetic scene+masks)",
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / A100_FPS_ESTIMATE, 3),
@@ -95,6 +110,7 @@ def main():
                     "compile_s": round(compile_s, 1),
                     "device": str(jax.devices()[0]),
                     "points_capacity": 131072,
+                    "queries": int(cfg.caps.frustum_objects + cfg.caps.clusters),
                 },
             }
         )

@@ -45,24 +45,55 @@ def extract_roi_points(
     extra_wlh: Tuple[float, float, float],
     capacity: int,
     rois_per_point: int = 2,
+    roi_chunk: int = 64,
 ) -> RoiPoints:
-    """Membership of points in enlarged rotated RoIs, with static capacity."""
+    """Membership of points in enlarged rotated RoIs, with static capacity.
+
+    The [N, Q] membership test runs in RoI chunks under ``lax.scan`` with a
+    running per-point top-K — peak memory is [N, roi_chunk, 3] instead of
+    [N, Q, 3] (2 GB at production scale).
+    """
     q = rois.shape[0]
-    ctr = gravity_center(rois)                       # [Q, 3]
+    n = xyz.shape[0]
     extra = jnp.asarray(extra_wlh, xyz.dtype)
-    half = (rois[:, 3:6] + extra) * 0.5              # enlarged half-dims
-    half_orig = rois[:, 3:6] * 0.5
+    pad_q = (-q) % roi_chunk
+    if pad_q:
+        rois_p = jnp.concatenate([rois, jnp.zeros((pad_q, rois.shape[1]), rois.dtype)])
+        roi_batch_p = jnp.concatenate([roi_batch, jnp.full((pad_q,), -1, roi_batch.dtype)])
+        roi_valid_p = jnp.concatenate([roi_valid, jnp.zeros((pad_q,), bool)])
+    else:
+        rois_p, roi_batch_p, roi_valid_p = rois, roi_batch, roi_valid
+    qc = rois_p.shape[0] // roi_chunk
+    rois_c = rois_p.reshape(qc, roi_chunk, -1)
+    rb_c = roi_batch_p.reshape(qc, roi_chunk)
+    rv_c = roi_valid_p.reshape(qc, roi_chunk)
+    base_c = jnp.arange(qc, dtype=jnp.int32) * roi_chunk
 
-    rel = xyz[:, None, :] - ctr[None, :, :]          # [N, Q, 3]
-    local = rotate_points_z(rel, -rois[None, :, 6])  # [N, Q, 3]
-    inside = jnp.all(jnp.abs(local) <= half[None], axis=-1)
-    inside &= point_valid[:, None] & roi_valid[None, :]
-    inside &= point_batch[:, None] == roi_batch[None, :]
+    neg = jnp.int32(-q - roi_chunk - 1)
+    k = rois_per_point
 
-    # top-K roi memberships per point: order by roi index (first hits)
-    score = jnp.where(inside, -jnp.arange(q, dtype=jnp.int32)[None, :], -q - 1)
-    top_scores, top_idx = jax.lax.top_k(score, rois_per_point)  # [N, K]
-    member_ok = top_scores > (-q - 1)
+    def step(carry, chunk):
+        top_s, top_i = carry                      # [N, K] running best
+        rc, rbc, rvc, base = chunk
+        ctr = gravity_center(rc)                  # [C, 3]
+        half = (rc[:, 3:6] + extra) * 0.5
+        rel = xyz[:, None, :] - ctr[None, :, :]   # [N, C, 3]
+        local = rotate_points_z(rel, -rc[None, :, 6])
+        inside = jnp.all(jnp.abs(local) <= half[None], axis=-1)
+        inside &= point_valid[:, None] & rvc[None, :]
+        inside &= point_batch[:, None] == rbc[None, :]
+        gidx = base + jnp.arange(roi_chunk, dtype=jnp.int32)
+        score = jnp.where(inside, -gidx[None, :], neg)   # prefer lower roi idx
+        cs, ci = jax.lax.top_k(score, k)                 # [N, K]
+        cand_s = jnp.concatenate([top_s, cs], axis=1)
+        cand_i = jnp.concatenate([top_i, (gidx[ci]).astype(jnp.int32)], axis=1)
+        ms, sel = jax.lax.top_k(cand_s, k)
+        mi = jnp.take_along_axis(cand_i, sel, axis=1)
+        return (ms, mi), None
+
+    init = (jnp.full((n, k), neg, jnp.int32), jnp.zeros((n, k), jnp.int32))
+    (top_scores, top_idx), _ = jax.lax.scan(step, init, (rois_c, rb_c, rv_c, base_c))
+    member_ok = top_scores > neg
     flat_ok = member_ok.reshape(-1)
     sel, sel_valid = masked_gather(flat_ok, capacity)
     point_idx = sel // rois_per_point
