@@ -125,7 +125,7 @@ def main():
 
     tx = make_optimizer(
         base_lr=args.lr, total_steps=total_steps,
-        lr_mult_rules={"segmentor/SegmentorCore_0": 0.2},
+        lr_mult_rules={"segmentor.SegmentorCore_0": 0.2},
     )
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=vars_["params"],
