@@ -69,10 +69,11 @@ class MaskedBatchNorm(nn.Module):
             axis = _BN_AXIS.get()
             if valid is None:
                 valid = jnp.ones(x.shape[:1], bool)
-            w = valid.astype(x.dtype)[:, None]
+            xf = x.astype(jnp.float32)  # stats in f32 even for bf16 activations
+            w = valid.astype(jnp.float32)[:, None]
             n = jnp.sum(w)
-            sx = jnp.sum(x * w, axis=0)
-            sxx = jnp.sum(x * x * w, axis=0)
+            sx = jnp.sum(xf * w, axis=0)
+            sxx = jnp.sum(xf * xf * w, axis=0)
             if axis is not None:  # syncBN: global statistics over the mesh
                 n = jax.lax.psum(n, axis)
                 sx = jax.lax.psum(sx, axis)
@@ -86,7 +87,7 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
         return y
 
 

@@ -49,7 +49,8 @@ class _SubMBlock(nn.Module):
         y = subm_conv_apply(st.feats, st.valid, rb, w, None)
         y = MaskedBatchNorm()(y, st.valid, train)
         y = nn.relu(y) * st.valid[:, None].astype(y.dtype)
-        return st.replace(feats=y)
+        # keep activations bf16 between convs — halves neighbor-gather traffic
+        return st.replace(feats=y.astype(jnp.bfloat16))
 
 
 class _DownBlock(nn.Module):
@@ -74,7 +75,7 @@ class _DownBlock(nn.Module):
         )
         y = MaskedBatchNorm()(out.feats, out.valid, train)
         y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
-        return out.replace(feats=y)
+        return out.replace(feats=y.astype(jnp.bfloat16))
 
 
 class _UpBlock(nn.Module):
@@ -107,7 +108,7 @@ class _UpBlock(nn.Module):
         )
         y = MaskedBatchNorm()(out.feats, out.valid, train)
         y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
-        return out.replace(feats=y)
+        return out.replace(feats=y.astype(jnp.bfloat16))
 
 
 class SparseUNet(nn.Module):
@@ -176,4 +177,5 @@ class SparseUNet(nn.Module):
         # final merge with stage-0 skip and projection to output_channels
         merged = x.replace(feats=jnp.concatenate([x.feats, skips[0].feats], axis=1))
         out = _SubMBlock(self.output_channels, name="conv_out")(merged, rulebooks[0], train)
-        return out.feats  # [cap0, output_channels], aligned with input rows
+        # heads and the scatter neck expect f32
+        return out.feats.astype(jnp.float32)
