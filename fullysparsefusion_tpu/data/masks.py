@@ -91,6 +91,58 @@ def load_sample_masks(
     return masks, anno
 
 
+def load_sample_masks_single_channel(
+    mask_dir: str,
+    token: str,
+    num_cams: int,
+    num_classes: int,
+    img_hw: Tuple[int, int],
+    max_anno: int = 250,
+    front_cam: int = 0,
+    front_hw: Optional[Tuple[int, int]] = None,
+    downsample: int = 1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """AV2/Waymo variant (loading.py:141-186): one instance-id PNG per camera
+    (no per-class planes); the per-class layout is reconstructed from the
+    anno table's category column. AV2's front camera has a different
+    resolution and is resized (nearest) onto the common grid.
+    """
+    h, w = img_hw
+    hs, ws = h // downsample, w // downsample
+    masks = np.zeros((num_cams, num_classes, hs, ws), np.int32)
+    sdir = os.path.join(mask_dir, token)
+    anno_path = os.path.join(sdir, "anno.json")
+    if not os.path.isfile(anno_path):
+        return masks, np.zeros((max_anno, 9), np.float32)
+    with open(anno_path) as f:
+        raw = json.load(f)
+    anno = reorg_anno(raw if isinstance(raw, list) else raw.get("annos", []), max_anno)
+    cat_of = anno[:, 5].astype(np.int32)
+    for cam in range(num_cams):
+        p = os.path.join(sdir, f"{cam}.png")
+        if not os.path.isfile(p):
+            continue
+        img = _read_png(p).astype(np.int32)
+        if cam == front_cam and front_hw is not None and img.shape[:2] != (h, w):
+            # nearest resize onto the common grid
+            ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+            xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+            img = img[ys][:, xs]
+        img = img[::downsample, ::downsample]
+        # route each instance id into its class plane
+        ids = np.unique(img)
+        for oid in ids:
+            if oid <= 0 or oid > max_anno:
+                continue
+            cls = int(cat_of[oid - 1])
+            if 0 <= cls < num_classes:
+                masks[cam, cls][img == oid] = oid
+    if downsample > 1:
+        anno = anno.copy()
+        anno[:, :4] /= downsample
+    return masks, anno
+
+
 def make_camera_batch(
     samples_masks: List[np.ndarray],
     samples_annos: List[np.ndarray],
