@@ -32,8 +32,9 @@ def build_bench_model():
     )
     from fullysparsefusion_tpu.models.fsf import FSF
 
+    vox = int(os.environ.get("FSF_BENCH_VOXELS", 65536))
     caps = Capacities(
-        points=131072, voxels=65536, prevox=65536,
+        points=131072, voxels=vox, prevox=vox,
         fg_per_group=4096, cluster_voxels_per_group=1024, clusters=1024,
         max_gt=128, frustum_points=16384, frustum_objects=256,
         roi_points=32768, max_roi_points=512,
