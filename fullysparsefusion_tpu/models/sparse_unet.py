@@ -25,7 +25,10 @@ from ..ops.sparse_conv import (
     Rulebook,
     build_subm_rulebook,
     subm_conv_apply,
+    subm_conv_dense,
+    use_dense_conv,
     sparse_conv3d,
+    sparse_conv3d_dense,
     sparse_inverse_conv3d,
 )
 from .layers import MaskedBatchNorm
@@ -46,7 +49,11 @@ class _SubMBlock(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
             (k3, cin, self.out_channels),
         )
-        y = subm_conv_apply(st.feats, st.valid, rb, w, None)
+        if use_dense_conv(st, self.out_channels):
+            # high-occupancy stage: dense scatter -> MXU conv -> gather-back
+            y = subm_conv_dense(st, w, None, self.kernel_size)
+        else:
+            y = subm_conv_apply(st.feats, st.valid, rb, w, None)
         y = MaskedBatchNorm()(y, st.valid, train)
         y = nn.relu(y) * st.valid[:, None].astype(y.dtype)
         # keep activations bf16 between convs — halves neighbor-gather traffic
@@ -69,10 +76,16 @@ class _DownBlock(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
             (k3, cin, self.out_channels),
         )
-        out = sparse_conv3d(
-            st, w, None, self.kernel_size, self.stride, self.padding,
-            self.out_capacity, compute_dtype=jnp.bfloat16,
-        )
+        if use_dense_conv(st, self.out_channels):
+            out = sparse_conv3d_dense(
+                st, w, None, self.kernel_size, self.stride, self.padding,
+                self.out_capacity,
+            )
+        else:
+            out = sparse_conv3d(
+                st, w, None, self.kernel_size, self.stride, self.padding,
+                self.out_capacity, compute_dtype=jnp.bfloat16,
+            )
         y = MaskedBatchNorm()(out.feats, out.valid, train)
         y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
         return out.replace(feats=y.astype(jnp.bfloat16))

@@ -246,6 +246,121 @@ def conv_out_dim(n: int, k: int, s: int, p: int) -> int:
     return (n + 2 * p - k) // s + 1
 
 
+# ---------------------------------------------------------------------------
+# Dense-region convolution: at deep UNet stages the active set covers a large
+# fraction of a small grid (50-100 %), where scattering to a dense [B, X, Y,
+# Z, C] tensor and running XLA's native conv on the MXU beats 27 gather
+# matmuls. Results are identical: inactive cells are zero, so the dense conv
+# computes exactly the sparse sum at every active site.
+# ---------------------------------------------------------------------------
+
+
+def _to_dense(st: SparseTensor) -> jax.Array:
+    nx, ny, nz = st.dims
+    b = st.batch_size
+    c = st.feats.shape[-1]
+    cells = b * nx * ny * nz
+    keys = _linearize(st.coords, st.batch, st.dims)
+    keys = jnp.where(st.valid, jnp.clip(keys, 0, cells - 1), cells)
+    dense = jnp.zeros((cells + 1, c), st.feats.dtype).at[keys].set(
+        st.feats * st.valid[:, None].astype(st.feats.dtype)
+    )
+    # linear key order is ((b·nz + z)·ny + y)·nx + x → [B, Z, Y, X, C]
+    return dense[:cells].reshape(b, nz, ny, nx, c)
+
+
+def _dense_conv(
+    dense: jax.Array,      # [B, Z, Y, X, Cin]
+    w: jax.Array,          # [K³, Cin, Cout], flat index kz·K²+ky·K+kx
+    kernel_size: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    kx, ky, kz = kernel_size
+    cin, cout = w.shape[1], w.shape[2]
+    kern = w.reshape(kz, ky, kx, cin, cout).astype(compute_dtype)
+    out = jax.lax.conv_general_dilated(
+        dense.astype(compute_dtype),
+        kern,
+        window_strides=(stride[2], stride[1], stride[0]),
+        padding=[(padding[2], padding[2]), (padding[1], padding[1]), (padding[0], padding[0])],
+        dimension_numbers=("NZYXC", "ZYXIO", "NZYXC"),
+        # same-dtype in/out keeps the autodiff transpose well-typed; XLA's
+        # TPU conv still accumulates in f32 internally
+    )
+    return out.astype(jnp.float32)  # [B, Z', Y', X', Cout]
+
+
+def _from_dense(
+    dense: jax.Array,      # [B, Z, Y, X, C]
+    coords: jax.Array, batch: jax.Array, valid: jax.Array, dims,
+) -> jax.Array:
+    b, nz, ny, nx, c = dense.shape
+    flat = dense.reshape(b * nz * ny * nx, c)
+    keys = _linearize(coords, batch, dims)
+    keys = jnp.clip(keys, 0, flat.shape[0] - 1)
+    out = flat[keys]
+    return out * valid[:, None].astype(out.dtype)
+
+
+# occupancy (capacity / grid cells) above which the dense path wins
+DENSE_CONV_MIN_OCCUPANCY = 0.15
+# dense activation budget: B·X·Y·Z·C elements (bf16)
+DENSE_CONV_MAX_ELEMS = 192 * 1024 * 1024
+
+
+def use_dense_conv(st: SparseTensor, cout: int) -> bool:
+    nx, ny, nz = st.dims
+    if st.batch_size <= 0:
+        return False
+    cells = st.batch_size * nx * ny * nz
+    occ = st.capacity / cells
+    elems = cells * max(st.feats.shape[-1], cout)
+    return occ >= DENSE_CONV_MIN_OCCUPANCY and elems <= DENSE_CONV_MAX_ELEMS
+
+
+def subm_conv_dense(
+    st: SparseTensor,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    kernel_size: Tuple[int, int, int] = (3, 3, 3),
+) -> jax.Array:
+    """Submanifold conv via dense scatter → XLA conv → gather-back."""
+    dense = _to_dense(st)
+    pad = tuple(k // 2 for k in kernel_size)
+    out = _dense_conv(dense, w, kernel_size, (1, 1, 1), pad)
+    y = _from_dense(out, st.coords, st.batch, st.valid, st.dims)
+    if b is not None:
+        y = y + b
+    return y * st.valid[:, None].astype(y.dtype)
+
+
+def sparse_conv3d_dense(
+    st: SparseTensor,
+    w: jax.Array,
+    b: Optional[jax.Array],
+    kernel_size: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+    out_capacity: int,
+) -> SparseTensor:
+    """Strided sparse conv via the dense path (same output active set)."""
+    out_coords, out_batch, out_valid, out_dims = downsample_coords(
+        st, kernel_size, stride, padding, out_capacity
+    )
+    dense = _to_dense(st)
+    out = _dense_conv(dense, w, kernel_size, stride, padding)
+    y = _from_dense(out, out_coords, out_batch, out_valid, out_dims)
+    if b is not None:
+        y = y + b
+    y = y * out_valid[:, None].astype(y.dtype)
+    return SparseTensor(
+        feats=y, coords=out_coords, batch=out_batch, valid=out_valid,
+        dims=out_dims, batch_size=st.batch_size,
+    )
+
+
 def downsample_coords(
     st: SparseTensor,
     kernel_size: Tuple[int, int, int],

@@ -153,3 +153,34 @@ def test_inverse_conv_matches_dense_transpose():
                         if np.all(y >= 0) and np.all(y < np.array(coarse.dims)):
                             acc += dense_c[batch[i]][y[0], y[1], y[2]] @ w_up[kz * 9 + ky * 3 + kx]
         np.testing.assert_allclose(got[i], acc, rtol=1e-4, atol=1e-4)
+
+
+def test_dense_conv_path_matches_sparse():
+    """subm_conv_dense / sparse_conv3d_dense must equal the gather path."""
+    import jax.numpy as jnp
+    from fullysparsefusion_tpu.ops.sparse_conv import (
+        subm_conv_dense, sparse_conv3d_dense,
+    )
+
+    rng = np.random.default_rng(11)
+    cin, cout = 4, 6
+    st, denses, coords, batch, n = _make_sparse(9, cin)
+    st = st.replace(batch_size=2)
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+    b = rng.normal(size=cout).astype(np.float32)
+
+    ref = np.asarray(subm_conv3d(st, jnp.asarray(w), jnp.asarray(b)))
+    got = np.asarray(subm_conv_dense(st, jnp.asarray(w), jnp.asarray(b)))
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)  # bf16 path
+
+    out_s = sparse_conv3d(
+        st, jnp.asarray(w), None, (3, 3, 3), (2, 2, 2), (1, 1, 1), out_capacity=128
+    )
+    out_d = sparse_conv3d_dense(
+        st, jnp.asarray(w), None, (3, 3, 3), (2, 2, 2), (1, 1, 1), out_capacity=128
+    )
+    np.testing.assert_array_equal(np.asarray(out_s.coords), np.asarray(out_d.coords))
+    np.testing.assert_array_equal(np.asarray(out_s.valid), np.asarray(out_d.valid))
+    np.testing.assert_allclose(
+        np.asarray(out_d.feats), np.asarray(out_s.feats), rtol=2e-2, atol=2e-2
+    )
