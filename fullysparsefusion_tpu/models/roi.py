@@ -71,9 +71,23 @@ def extract_roi_points(
 
     neg = jnp.int32(-q - roi_chunk - 1)
     k = rois_per_point
+    assert k == 2, "running-best merge implemented for rois_per_point == 2"
+
+    def top2(score, idx_of):
+        """Two max/argmax passes — far cheaper than lax.top_k on TPU."""
+        i1 = jnp.argmax(score, axis=1)
+        s1 = jnp.max(score, axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+        masked = jnp.where(cols == i1[:, None], neg, score)
+        i2 = jnp.argmax(masked, axis=1)
+        s2 = jnp.max(masked, axis=1)
+        return (
+            jnp.stack([s1, s2], axis=1),
+            jnp.stack([idx_of(i1), idx_of(i2)], axis=1),
+        )
 
     def step(carry, chunk):
-        top_s, top_i = carry                      # [N, K] running best
+        top_s, top_i = carry                      # [N, 2] running best
         rc, rbc, rvc, base = chunk
         ctr = gravity_center(rc)                  # [C, 3]
         half = (rc[:, 3:6] + extra) * 0.5
@@ -84,11 +98,10 @@ def extract_roi_points(
         inside &= point_batch[:, None] == rbc[None, :]
         gidx = base + jnp.arange(roi_chunk, dtype=jnp.int32)
         score = jnp.where(inside, -gidx[None, :], neg)   # prefer lower roi idx
-        cs, ci = jax.lax.top_k(score, k)                 # [N, K]
-        cand_s = jnp.concatenate([top_s, cs], axis=1)
-        cand_i = jnp.concatenate([top_i, (gidx[ci]).astype(jnp.int32)], axis=1)
-        ms, sel = jax.lax.top_k(cand_s, k)
-        mi = jnp.take_along_axis(cand_i, sel, axis=1)
+        cs, ci = top2(score, lambda i: gidx[i])
+        cand_s = jnp.concatenate([top_s, cs], axis=1)     # [N, 4]
+        cand_i = jnp.concatenate([top_i, ci], axis=1)
+        ms, mi = top2(cand_s, lambda i: jnp.take_along_axis(cand_i, i[:, None], 1)[:, 0])
         return (ms, mi), None
 
     init = (jnp.full((n, k), neg, jnp.int32), jnp.zeros((n, k), jnp.int32))
