@@ -154,6 +154,32 @@ def cluster_all_groups(
     return out
 
 
+def hybrid_cluster_one_group(
+    centers: jax.Array,
+    batch_idx: jax.Array,
+    valid: jax.Array,
+    group_id: int,
+    cfg: FSDConfig,
+    method: str = "ccl",
+    num_fps: int = 256,
+    radius: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-class clustering dispatch (reference HybridAssigner,
+    single_stage_fsd.py:1087-1177): 'ccl' → connected components,
+    'ssg' → FPS + ball grouping."""
+    if method == "ccl":
+        return cluster_one_group(centers, batch_idx, valid, group_id, cfg)
+    from ..ops.fps import ssg_cluster
+
+    # ssg operates per batch element; offset labels to keep them disjoint
+    lab = jnp.full(centers.shape[:1], -1, jnp.int32)
+    for b in range(8):  # static upper bound on per-shard batch
+        m = valid & (batch_idx == b)
+        lab_b = ssg_cluster(centers, batch_idx, m, num_fps, radius)
+        lab = jnp.where(m & (lab_b >= 0), lab_b + b * num_fps, lab)
+    return lab, valid & (lab >= 0)
+
+
 class FSDQueryBranch(nn.Module):
     """Clustering + SIR + head: turns segmentor output into LiDAR queries.
 
