@@ -219,6 +219,9 @@ def subm_conv_apply(
     out = jnp.zeros((feats.shape[0], cout), jnp.float32)
     f16 = feats.astype(compute_dtype)
     w16 = w.astype(compute_dtype)
+    # per-tap gather+matmul streams best; measured alternatives on v5e:
+    # single [K³·cap] gather then slices: +9 ms; tap-concat wide matmul:
+    # 8.7× worse; full einsum contraction: +30 ms
     for ki in range(k3):
         nf = f16[rb.rows[ki]] * rb.hits[ki][:, None].astype(compute_dtype)
         out = out + jnp.dot(nf, w16[ki], preferred_element_type=jnp.float32)
