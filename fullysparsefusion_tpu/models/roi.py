@@ -104,7 +104,10 @@ def extract_roi_points(
         ms, mi = top2(cand_s, lambda i: jnp.take_along_axis(cand_i, i[:, None], 1)[:, 0])
         return (ms, mi), None
 
-    init = (jnp.full((n, k), neg, jnp.int32), jnp.zeros((n, k), jnp.int32))
+    # derive the init from a traced input so its sharding/varying axes match
+    # the body outputs under shard_map (constants are unvarying by default)
+    zero_nk = (xyz[:, :1] * 0).astype(jnp.int32) * jnp.zeros((1, k), jnp.int32)
+    init = (zero_nk + neg, zero_nk)
     (top_scores, top_idx), _ = jax.lax.scan(step, init, (rois_c, rb_c, rv_c, base_c))
     member_ok = top_scores > neg
     flat_ok = member_ok.reshape(-1)
