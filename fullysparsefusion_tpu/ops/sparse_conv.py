@@ -197,6 +197,9 @@ def build_subm_rulebook(
         jnp.broadcast_to(st.batch, (k3,) + st.batch.shape),
         jnp.broadcast_to(st.valid, (k3,) + st.valid.shape),
     )
+    # misses point at a dedicated zero row (index cap) — the conv can then
+    # gather without a mask multiply (27 × [cap, Cin] writes saved per conv)
+    rows = jnp.where(hits, rows, st.capacity)
     return Rulebook(rows=rows, hits=hits)
 
 
@@ -217,14 +220,20 @@ def subm_conv_apply(
     k3 = rb.rows.shape[0]
     cout = w.shape[-1]
     out = jnp.zeros((feats.shape[0], cout), jnp.float32)
-    f16 = feats.astype(compute_dtype)
+    # append the zero row that rulebook misses point at — gathers then need
+    # no mask multiply. Invalid active-set rows already carry zero features
+    # (every producer masks by validity).
+    f16 = jnp.concatenate(
+        [feats, jnp.zeros((1, feats.shape[1]), feats.dtype)]
+    ).astype(compute_dtype)
     w16 = w.astype(compute_dtype)
     # per-tap gather+matmul streams best; measured alternatives on v5e:
     # single [K³·cap] gather then slices: +9 ms; tap-concat wide matmul:
     # 8.7× worse; full einsum contraction: +30 ms
     for ki in range(k3):
-        nf = f16[rb.rows[ki]] * rb.hits[ki][:, None].astype(compute_dtype)
-        out = out + jnp.dot(nf, w16[ki], preferred_element_type=jnp.float32)
+        out = out + jnp.dot(
+            f16[rb.rows[ki]], w16[ki], preferred_element_type=jnp.float32
+        )
     if b is not None:
         out = out + b
     return out * valid[:, None].astype(out.dtype)
@@ -449,9 +458,12 @@ def sparse_conv3d(
         jnp.broadcast_to(out_batch, (k3,) + out_batch.shape),
         jnp.broadcast_to(out_valid, (k3,) + out_valid.shape),
     )
+    rows = jnp.where(hits, rows, st.capacity)  # misses → zero row
+    f16 = jnp.concatenate([f16, jnp.zeros((1, f16.shape[1]), f16.dtype)])
     for ki in range(k3):
-        nf = f16[rows[ki]] * hits[ki][:, None].astype(cdtype)
-        out = out + jnp.dot(nf, w16[ki], preferred_element_type=jnp.float32)
+        out = out + jnp.dot(
+            f16[rows[ki]], w16[ki], preferred_element_type=jnp.float32
+        )
     if b is not None:
         out = out + b
     out = out * out_valid[:, None].astype(out.dtype)
@@ -497,9 +509,12 @@ def sparse_inverse_conv3d(
         jnp.broadcast_to(target_batch, (k3,) + target_batch.shape),
         ok,
     )
+    rows = jnp.where(hits, rows, st.capacity)  # misses → zero row
+    f16 = jnp.concatenate([f16, jnp.zeros((1, f16.shape[1]), f16.dtype)])
     for ki in range(k3):
-        nf = f16[rows[ki]] * hits[ki][:, None].astype(cdtype)
-        out = out + jnp.dot(nf, w16[ki], preferred_element_type=jnp.float32)
+        out = out + jnp.dot(
+            f16[rows[ki]], w16[ki], preferred_element_type=jnp.float32
+        )
     if b is not None:
         out = out + b
     out = out * target_valid[:, None].astype(out.dtype)
