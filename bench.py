@@ -25,8 +25,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 A100_FPS_ESTIMATE = 10.0
 
 
+def _enable_compile_cache():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 def build_bench_model():
     import jax
+
+    _enable_compile_cache()
     from fullysparsefusion_tpu.config import (
         FSDConfig, FSFConfig, Capacities,
     )

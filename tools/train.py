@@ -35,6 +35,8 @@ def parse_args():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--synthetic", action="store_true", help="synthetic-scene smoke run")
+    p.add_argument("--model", default="fsd", choices=["fsd", "fsf"],
+                   help="fsd = LiDAR-only; fsf = full fusion (synthetic masks in --synthetic mode)")
     p.add_argument("--log-interval", type=int, default=20)
     p.add_argument("--ckpt-interval", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
@@ -63,11 +65,20 @@ def main():
 
     os.makedirs(args.work_dir, exist_ok=True)
 
+    use_fsf = args.model == "fsf"
     if args.synthetic:
-        from fixtures import make_scene
+        from fixtures import make_scene, make_camera_data, with_noaug_channels
 
-        cfg = tiny_fsd_config()
-        model = SingleStageFSD(cfg=cfg)
+        if use_fsf:
+            from fullysparsefusion_tpu.config import tiny_fsf_config
+            from fullysparsefusion_tpu.models.fsf import FSF
+
+            fcfg = tiny_fsf_config()
+            cfg = fcfg.fsd
+            model = FSF(cfg=fcfg)
+        else:
+            cfg = tiny_fsd_config()
+            model = SingleStageFSD(cfg=cfg)
         batch_size = 2
 
         def batch_iter():
@@ -76,7 +87,13 @@ def main():
                 pb, gt = make_scene(
                     seed=i, n_cap=cfg.caps.points, max_gt=cfg.caps.max_gt
                 )
-                yield pb, gt
+                if use_fsf:
+                    cam = make_camera_data(
+                        pb, gt, num_cams=fcfg.num_cams, num_classes=fcfg.num_classes
+                    )
+                    yield with_noaug_channels(pb), cam, gt, gt
+                else:
+                    yield pb, gt
                 i += 1
 
         total_steps = args.max_steps or 50
@@ -116,12 +133,22 @@ def main():
                     yield pb, gt
 
     it = batch_iter()
-    pb0, gt0 = next(it)
-    vars_ = jax.jit(
-        lambda k: model.init(
-            k, pb0, batch_size, gt0, False, method=lambda m, *a, **kw: m(*a, **kw)
-        )
-    )(jax.random.key(args.seed))
+    batch0 = next(it)
+    if use_fsf:
+        pb0, cam0, gt0, nogt0 = batch0
+        vars_ = jax.jit(
+            lambda k: model.init(
+                k, pb0, cam0, batch_size, gt0, nogt0, False,
+                method=lambda m, *a, **kw: m(*a, **kw),
+            )
+        )(jax.random.key(args.seed))
+    else:
+        pb0, gt0 = batch0
+        vars_ = jax.jit(
+            lambda k: model.init(
+                k, pb0, batch_size, gt0, False, method=lambda m, *a, **kw: m(*a, **kw)
+            )
+        )(jax.random.key(args.seed))
 
     tx = make_optimizer(
         base_lr=args.lr, total_steps=total_steps,
@@ -137,13 +164,20 @@ def main():
             state = load_checkpoint(path, state)
             print(f"resumed from {path} at step {int(state.step)}")
 
-    step_fn = make_train_step(model, tx, batch_size)
+    if use_fsf:
+        from fullysparsefusion_tpu.parallel import (
+            make_generic_train_step, fsf_forward_fn,
+        )
+
+        step_fn = make_generic_train_step(fsf_forward_fn(model, batch_size), tx)
+    else:
+        step_fn = make_train_step(model, tx, batch_size)
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
     t0 = time.time()
     start = int(state.step)
     for i in range(start, total_steps):
-        pb, gt = next(it)
-        state, loss, losses = step_fn(state, pb, gt)
+        batch = next(it)
+        state, loss, losses = step_fn(state, *batch)
         if (i + 1) % args.log_interval == 0:
             loss_v = float(loss)
             dt = (time.time() - t0) / args.log_interval
