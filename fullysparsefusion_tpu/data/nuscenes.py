@@ -37,16 +37,35 @@ def load_points_bin(path: str, load_dim: int = 5, use_dim: int = 5) -> np.ndarra
     return pts[:, :use_dim]
 
 
+def load_virtual_points(path: str, point_dim: int = 5) -> np.ndarray:
+    """MVP-style virtual points stored alongside the sweep (reference
+    load_vpts, loading.py:644-659): .npy/.bin files of painted points that
+    concatenate with the real returns."""
+    if path.endswith(".npy"):
+        vp = np.load(path)
+    else:
+        vp = np.fromfile(path, dtype=np.float32).reshape(-1, point_dim)
+    return vp[:, :point_dim].astype(np.float32)
+
+
 def aggregate_sweeps(
     info: Dict,
     data_root: str,
     num_sweeps: int = 9,
     rng: Optional[np.random.Generator] = None,
+    virtual_points_dir: Optional[str] = None,
 ) -> np.ndarray:
     """Key frame + up to ``num_sweeps`` past sweeps in key-frame coordinates,
     with a Δt (time-lag) channel appended (mmdet3d LoadPointsFromMultiSweeps
     semantics used by the shipped configs)."""
     key = load_points_bin(os.path.join(data_root, info["lidar_path"]))
+    if virtual_points_dir:
+        vp_path = os.path.join(
+            virtual_points_dir,
+            os.path.basename(info["lidar_path"]) + ".vp.npy",
+        )
+        if os.path.isfile(vp_path):
+            key = np.concatenate([key, load_virtual_points(vp_path, key.shape[1])])
     key_time = info["timestamp"] / 1e6
     out = [np.concatenate([key, np.zeros((len(key), 1), np.float32)], 1)]
     sweeps = info.get("sweeps", [])
