@@ -18,19 +18,40 @@ import jax.numpy as jnp
 from .geometry import boxes_iou_bev
 
 
+def _use_pallas_nms(n: int) -> bool:
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    # VMEM budget: [N, N] f32 resident
+    return 128 <= n <= 2048
+
+
 def nms_mask_from_iou(
     iou: jax.Array,
     scores: jax.Array,
     valid: jax.Array,
     iou_thr: float,
 ) -> jax.Array:
-    """Greedy NMS keep mask given a precomputed [N, N] IoU matrix."""
+    """Greedy NMS keep mask given a precomputed [N, N] IoU matrix.
+
+    On TPU the sequential suppression scan runs as a Pallas kernel with the
+    IoU matrix VMEM-resident (ops/pallas_kernels.py); elsewhere it is a
+    fori_loop over rows.
+    """
     n = iou.shape[0]
     neg = jnp.finfo(scores.dtype).min
     masked_scores = jnp.where(valid, scores, neg)
     order = jnp.argsort(-masked_scores, stable=True)
     v = valid[order]
     iou_s = iou[order][:, order]
+
+    if _use_pallas_nms(n):
+        from .pallas_kernels import nms_scan_pallas
+
+        keep_sorted = nms_scan_pallas(iou_s, v, iou_thr)
+        return jnp.zeros((n,), bool).at[order].set(keep_sorted)
 
     def body(i, state):
         keep, suppressed = state
