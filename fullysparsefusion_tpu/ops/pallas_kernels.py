@@ -45,19 +45,21 @@ def _ccl_kernel(adj_ref, valid_ref, labels_ref, *, n: int, sweeps: int):
     iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
     labels = iota_row * validf + big * (1.0 - validf)              # [1, N]
 
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1).astype(jnp.float32)
+
     def body(_, labels):
         lab_row = jnp.broadcast_to(labels, (n, n))
         lab_mat = adj * lab_row + (1.0 - adj) * big                # [N, N]
         new = jnp.min(lab_mat, axis=1, keepdims=True).T            # [1, N]
         new = jnp.minimum(new, labels)
-        # pointer jumping: jumped[i] = labels[new[i]] via one-hot matmul
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1).astype(jnp.float32)
-        onehot = (jnp.abs(new.T - col) < 0.5).astype(jnp.float32)  # [N, N]
-        jumped = jnp.dot(
-            onehot, labels.T, preferred_element_type=jnp.float32
-        ).T                                                        # [1, N]
-        has = (new < big).astype(jnp.float32)
-        out = has * jnp.minimum(new, jumped) + (1.0 - has) * big
+        # pointer jumping: jumped[i] = labels[new[i]], expressed as a masked
+        # min over the same [N, N] tile (cheaper than a one-hot matmul)
+        sel = (jnp.abs(new.T - col) < 0.5).astype(jnp.float32)     # [N, N]
+        jumped_col = jnp.min(
+            sel * lab_row + (1.0 - sel) * big, axis=1, keepdims=True
+        )                                                          # [N, 1]
+        jumped = jumped_col.T
+        out = jnp.minimum(new, jumped)
         return out * validf + big * (1.0 - validf)
 
     labels = jax.lax.fori_loop(0, sweeps, body, labels)

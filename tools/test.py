@@ -30,6 +30,11 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--eval", action="store_true", help="run the built-in evaluator")
     p.add_argument("--max-samples", type=int, default=0)
+    p.add_argument("--model", default="fsd", choices=["fsd", "fsf"])
+    p.add_argument("--mask-dir", help="pre-computed 2D instance masks (FSF mode)")
+    p.add_argument("--mask-downsample", type=int, default=2)
+    p.add_argument("--img-h", type=int, default=900)
+    p.add_argument("--img-w", type=int, default=1600)
     p.add_argument("--cpu", action="store_true", help="force host CPU backend")
     return p.parse_args()
 
@@ -70,47 +75,88 @@ def main():
     from fullysparsefusion_tpu.train import load_checkpoint
     from fullysparsefusion_tpu.utils.containers import PointBatch
     from fullysparsefusion_tpu.eval.detection import DetectionRecord, evaluate_detections
+    from fullysparsefusion_tpu.data.pipelines import collate_scene
 
+    use_fsf = args.model == "fsf"
     fsf_cfg = load_fsf_config(args.config)
     cfg = fsf_cfg.fsd
-    model = SingleStageFSD(cfg=cfg)
+    if use_fsf:
+        from fullysparsefusion_tpu.models.fsf import FSF
+        from fullysparsefusion_tpu.models.camera import CameraData
+        from fullysparsefusion_tpu.data.masks import load_sample_masks
+
+        assert args.mask_dir, "--mask-dir required for --model fsf"
+        model = FSF(cfg=fsf_cfg)
+    else:
+        model = SingleStageFSD(cfg=cfg)
     reader = NuScenesReader(
         info_path=args.info_pkl, data_root=args.data_root,
         class_names=cfg.class_names, training=False, with_cbgs=False,
     )
 
-    from fullysparsefusion_tpu.data.pipelines import collate_scene
+    ds = args.mask_downsample
 
-    sample0 = reader.sample(0, augment=False)
-    batch0 = collate_scene([sample0], cfg.caps.points, cfg.caps.max_gt)
-    pb0 = PointBatch(
-        points=jnp.asarray(batch0["points"]),
-        batch_idx=jnp.asarray(batch0["batch_idx"]),
-        valid=jnp.asarray(batch0["valid"]),
-    )
-    vars_ = jax.jit(
-        lambda k: model.init(
-            k, pb0, 1, None, False, method=lambda m, *a, **kw: m(*a, **kw)
+    def build_batch(i):
+        s = reader.sample(i, augment=False)
+        batch = collate_scene([s], cfg.caps.points, cfg.caps.max_gt)
+        pts = batch["points"]
+        if use_fsf:
+            # points already carry no-aug xyz channels from the reader
+            masks, anno = load_sample_masks(
+                args.mask_dir, s["token"], fsf_cfg.num_cams, cfg.num_classes,
+                (args.img_h, args.img_w), downsample=ds,
+            )
+            lidar2img = s["lidar2img"]
+            assert lidar2img is not None, "info pkl lacks lidar2img matrices"
+            l2i = np.asarray(lidar2img, np.float32).copy()
+            l2i[:, :2] /= ds  # masks are downsampled
+            cam = CameraData(
+                masks=jnp.asarray(masks[None]),
+                anno=jnp.asarray(anno[None]),
+                lidar2img=jnp.asarray(l2i[None]),
+            )
+        else:
+            cam = None
+        pb = PointBatch(
+            points=jnp.asarray(pts),
+            batch_idx=jnp.asarray(batch["batch_idx"]),
+            valid=jnp.asarray(batch["valid"]),
         )
-    )(jax.random.key(0))
+        return s, pb, cam
+
+    s0, pb0, cam0 = build_batch(0)
+    if use_fsf:
+        vars_ = jax.jit(
+            lambda k: model.init(
+                k, pb0, cam0, 1, None, None, False,
+                method=lambda m, *a, **kw: m(*a, **kw),
+            )
+        )(jax.random.key(0))
+    else:
+        vars_ = jax.jit(
+            lambda k: model.init(
+                k, pb0, 1, None, False, method=lambda m, *a, **kw: m(*a, **kw)
+            )
+        )(jax.random.key(0))
     if args.checkpoint:
         vars_ = load_checkpoint(args.checkpoint, vars_)
 
-    fwd = jax.jit(lambda pb: model.apply(vars_, pb, 1, None, False))
+    if use_fsf:
+        fwd = jax.jit(lambda v, pb, cam: model.apply(v, pb, cam, 1, None, None, False))
+    else:
+        fwd = jax.jit(lambda v, pb: model.apply(v, pb, 1, None, False))
 
     records, all_results = [], []
     n_total = min(len(reader), args.max_samples) if args.max_samples else len(reader)
     t0 = time.time()
     for i in range(n_total):
-        s = reader.sample(i, augment=False)
-        batch = collate_scene([s], cfg.caps.points, cfg.caps.max_gt)
-        pb = PointBatch(
-            points=jnp.asarray(batch["points"]),
-            batch_idx=jnp.asarray(batch["batch_idx"]),
-            valid=jnp.asarray(batch["valid"]),
-        )
-        out = fwd(pb)
-        res = model.apply(vars_, out, 1, method=SingleStageFSD.get_bboxes)
+        s, pb, cam = build_batch(i)
+        if use_fsf:
+            out = fwd(vars_, pb, cam)
+            res = model.apply(vars_, out, 1, method=type(model).get_bboxes)
+        else:
+            out = fwd(vars_, pb)
+            res = model.apply(vars_, out, 1, method=SingleStageFSD.get_bboxes)
         v = np.asarray(res.valid[0])
         boxes = np.asarray(res.boxes[0])[v]
         scores = np.asarray(res.scores[0])[v]
