@@ -31,6 +31,8 @@ def parse_args():
     p.add_argument("--eval", action="store_true", help="run the built-in evaluator")
     p.add_argument("--max-samples", type=int, default=0)
     p.add_argument("--model", default="fsd", choices=["fsd", "fsf"])
+    p.add_argument("--tiny", action="store_true",
+                   help="use the tiny test config instead of the file config (CI)")
     p.add_argument("--mask-dir", help="pre-computed 2D instance masks (FSF mode)")
     p.add_argument("--mask-downsample", type=int, default=2)
     p.add_argument("--img-h", type=int, default=900)
@@ -69,7 +71,7 @@ def main():
         print(json.dumps({"mode": "synthetic", "detections": n}))
         return
 
-    assert args.config and args.info_pkl and args.data_root
+    assert (args.config or args.tiny) and args.info_pkl and args.data_root
     from fullysparsefusion_tpu.config_compat import load_fsf_config
     from fullysparsefusion_tpu.data.nuscenes import NuScenesReader
     from fullysparsefusion_tpu.train import load_checkpoint
@@ -78,7 +80,12 @@ def main():
     from fullysparsefusion_tpu.data.pipelines import collate_scene
 
     use_fsf = args.model == "fsf"
-    fsf_cfg = load_fsf_config(args.config)
+    if args.tiny:
+        from fullysparsefusion_tpu.config import tiny_fsf_config
+
+        fsf_cfg = tiny_fsf_config()
+    else:
+        fsf_cfg = load_fsf_config(args.config)
     cfg = fsf_cfg.fsd
     if use_fsf:
         from fullysparsefusion_tpu.models.fsf import FSF
@@ -101,14 +108,14 @@ def main():
         batch = collate_scene([s], cfg.caps.points, cfg.caps.max_gt)
         pts = batch["points"]
         if use_fsf:
-            # points already carry no-aug xyz channels from the reader
-            masks, anno = load_sample_masks(
-                args.mask_dir, s["token"], fsf_cfg.num_cams, cfg.num_classes,
-                (args.img_h, args.img_w), downsample=ds,
-            )
             lidar2img = s["lidar2img"]
             assert lidar2img is not None, "info pkl lacks lidar2img matrices"
             l2i = np.asarray(lidar2img, np.float32).copy()
+            # camera count comes from the data, not the config
+            masks, anno = load_sample_masks(
+                args.mask_dir, s["token"], l2i.shape[0], cfg.num_classes,
+                (args.img_h, args.img_w), downsample=ds,
+            )
             l2i[:, :2] /= ds  # masks are downsampled
             cam = CameraData(
                 masks=jnp.asarray(masks[None]),
