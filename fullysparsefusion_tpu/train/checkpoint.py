@@ -42,6 +42,28 @@ def load_checkpoint(path: str, target):
     return ckptr.restore(path, target=target)
 
 
+def load_model_vars(path: str, vars_template) -> Dict:
+    """Restore model variables from a TRAINING checkpoint (full TrainState).
+
+    Inference tools don't carry an optimizer; this rebuilds a structural
+    TrainState skeleton around the variable template (the optimizer state
+    layout depends only on the param tree) and extracts params/batch_stats.
+    """
+    import jax.numpy as jnp
+
+    from ..parallel.train import TrainState, make_optimizer
+
+    tx = make_optimizer()
+    skeleton = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=vars_template["params"],
+        batch_stats=vars_template["batch_stats"],
+        opt_state=tx.init(vars_template["params"]),
+    )
+    state = load_checkpoint(path, skeleton)
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Read a reference ``.pth`` into {name: ndarray} (CPU torch only)."""
     import torch

@@ -53,8 +53,8 @@ def _build_fake_dataset(root, n_samples=2, img_h=64, img_w=96, num_cams=2):
         ).astype(np.float32)
         xyz = np.concatenate([inside, bg])
         pts = np.concatenate(
-            [xyz, rng.random((len(xyz), 2)).astype(np.float32)], 1
-        )  # 5-dim
+            [xyz, rng.random((len(xyz), 2))], 1
+        ).astype(np.float32)  # 5-dim; cast LAST (list-adds promote to f64)
         rel = f"points/{i}.bin"
         pts.tofile(os.path.join(root, rel))
         token = f"tok{i}"
@@ -109,3 +109,41 @@ def test_cli_end_to_end_on_fake_dataset(tmp_path, model):
     assert results[0]["token"] == "tok0"
     # the evaluator printed metrics
     assert '"mAP"' in r.stdout, r.stdout[-500:]
+
+
+def test_train_then_eval_lifecycle(tmp_path):
+    """Train on the fake dataset, checkpoint, then evaluate from the
+    checkpoint — the full user lifecycle on disk."""
+    info_path, mask_dir = _build_fake_dataset(str(tmp_path), n_samples=2)
+    work = str(tmp_path / "work")
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools", "train.py"),
+            "--tiny", "--cpu", "--info-pkl", info_path,
+            "--data-root", str(tmp_path), "--work-dir", work,
+            "--max-steps", "2", "--batch-size", "2",
+            "--log-interval", "1", "--ckpt-interval", "2",
+        ],
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpts = [d for d in os.listdir(work) if d.startswith("step_")]
+    assert ckpts, os.listdir(work)
+    # training logged finite losses
+    log = open(os.path.join(work, "train_log.jsonl")).read().strip().splitlines()
+    rec = json.loads(log[-1])
+    assert np.isfinite(rec["loss"])
+
+    out_path = str(tmp_path / "dets2.json")
+    r2 = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools", "test.py"),
+            "--tiny", "--cpu", "--info-pkl", info_path,
+            "--data-root", str(tmp_path), "--out", out_path,
+            "--checkpoint", os.path.join(work, sorted(ckpts)[-1]),
+            "--max-samples", "1",
+        ],
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert os.path.isfile(out_path)

@@ -74,7 +74,7 @@ def main():
     assert (args.config or args.tiny) and args.info_pkl and args.data_root
     from fullysparsefusion_tpu.config_compat import load_fsf_config
     from fullysparsefusion_tpu.data.nuscenes import NuScenesReader
-    from fullysparsefusion_tpu.train import load_checkpoint
+    from fullysparsefusion_tpu.train.checkpoint import load_model_vars
     from fullysparsefusion_tpu.utils.containers import PointBatch
     from fullysparsefusion_tpu.eval.detection import DetectionRecord, evaluate_detections
     from fullysparsefusion_tpu.data.pipelines import collate_scene
@@ -146,7 +146,7 @@ def main():
             )
         )(jax.random.key(0))
     if args.checkpoint:
-        vars_ = load_checkpoint(args.checkpoint, vars_)
+        vars_ = load_model_vars(args.checkpoint, vars_)
 
     if use_fsf:
         fwd = jax.jit(lambda v, pb, cam: model.apply(v, pb, cam, 1, None, None, False))

@@ -35,6 +35,8 @@ def parse_args():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--synthetic", action="store_true", help="synthetic-scene smoke run")
+    p.add_argument("--tiny", action="store_true",
+                   help="use the tiny test config instead of the file config (CI)")
     p.add_argument("--model", default="fsd", choices=["fsd", "fsf"],
                    help="fsd = LiDAR-only; fsf = full fusion (synthetic masks in --synthetic mode)")
     p.add_argument("--log-interval", type=int, default=20)
@@ -98,13 +100,18 @@ def main():
 
         total_steps = args.max_steps or 50
     else:
-        assert args.config and args.info_pkl and args.data_root, (
+        assert (args.config or args.tiny) and args.info_pkl and args.data_root, (
             "--config/--info-pkl/--data-root required (or use --synthetic)"
         )
         from fullysparsefusion_tpu.config_compat import load_fsf_config
         from fullysparsefusion_tpu.data.nuscenes import NuScenesReader
 
-        fsf_cfg = load_fsf_config(args.config)
+        if args.tiny:
+            from fullysparsefusion_tpu.config import tiny_fsf_config
+
+            fsf_cfg = tiny_fsf_config()
+        else:
+            fsf_cfg = load_fsf_config(args.config)
         cfg = fsf_cfg.fsd
         model = SingleStageFSD(cfg=cfg)  # LiDAR branch; FSF train lands with mask data
         batch_size = args.batch_size or jax.device_count()
