@@ -48,6 +48,9 @@ def group_sample(
     xyz: jax.Array,          # [P, 3]
     valid: jax.Array,
     cfg: FSDConfig,
+    thresh_buffer=0.0,       # scalar added to every group threshold
+                              # (EnableFSDDetectionHookIter decay,
+                              # single_stage_fsd.py:751-755)
 ) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
     """Per-group foreground masks + voted centers (single_stage_fsd.py:802-875).
 
@@ -62,7 +65,7 @@ def group_sample(
     for g, cls_ids in enumerate(cfg.group_class_ids()):
         ids = jnp.asarray(cls_ids)
         g_score = scores[:, ids].sum(axis=1)
-        fg = valid & (g_score > cfg.score_thresh[g])
+        fg = valid & (g_score > cfg.score_thresh[g] + thresh_buffer)
         logits_g = seg_logits[:, ids]
         mx = jnp.max(logits_g, axis=1, keepdims=True)
         w = (jnp.abs(logits_g - mx) < 1e-6).astype(off.dtype)
@@ -201,7 +204,9 @@ class FSDQueryBranch(nn.Module):
             cfg=c.head, tasks=(c.class_names,), class_names=c.class_names
         )
 
-    def extract_foreground(self, pb: PointBatch, seg_out, batch_size: int):
+    def extract_foreground(
+        self, pb: PointBatch, seg_out, batch_size: int, thresh_buffer=0.0
+    ):
         """pre-voxelize → group_sample → per-group cluster → combined set.
 
         Returns (fg: ForegroundSet, cluster_label [F], seg: SegmentInfo,
@@ -230,7 +235,8 @@ class FSDQueryBranch(nn.Module):
         pv_valid = pvseg.seg_valid
 
         fg_masks, centers = group_sample(
-            red["logits"], red["offsets"], red["points"][:, :3], pv_valid, c
+            red["logits"], red["offsets"], red["points"][:, :3], pv_valid, c,
+            thresh_buffer,
         )
 
         # compact each group's foreground to a static capacity
@@ -292,9 +298,12 @@ class FSDQueryBranch(nn.Module):
         )
         return pt_feats, cluster_feats
 
-    def __call__(self, pb: PointBatch, seg_out, batch_size: int, train: bool = False):
+    def __call__(
+        self, pb: PointBatch, seg_out, batch_size: int, train: bool = False,
+        thresh_buffer=0.0,
+    ):
         fg, cseg, cluster_xyz, cluster_batch, cluster_group, cluster_valid = (
-            self.extract_foreground(pb, seg_out, batch_size)
+            self.extract_foreground(pb, seg_out, batch_size, thresh_buffer)
         )
         pt_feats, cluster_feats = self.extract_feat(fg, cseg, cluster_xyz, train)
         outs = self.bbox_head(cluster_feats, cluster_valid, train)
@@ -327,10 +336,16 @@ class SingleStageFSD(nn.Module):
         batch_size: int,
         gt: Optional[GroundTruth] = None,
         train: bool = False,
+        thresh_buffer=0.0,
+        detection_weight=1.0,
     ):
+        """``thresh_buffer``/``detection_weight`` are traced scalars driven
+        by train.hooks.RuntimeSchedule: during segmentor pretrain the
+        detection losses are weighted to 0 and foreground thresholds carry
+        the decaying buffer (fsd_hooks.py:53-89 semantics)."""
         c = self.cfg
         seg_out = self.segmentor(pb, train, batch_size)
-        result = self.query_branch(pb, seg_out, batch_size, train)
+        result = self.query_branch(pb, seg_out, batch_size, train, thresh_buffer)
         result["seg_out"] = seg_out
 
         if gt is not None:
@@ -339,12 +354,14 @@ class SingleStageFSD(nn.Module):
                 *segmentor_targets(pb, gt, c.num_classes),
                 c.segmentor,
             )
-            losses.update(
-                cluster_head_loss(
-                    result["cls_logits"], result["reg_preds"], result["cluster_xyz"],
-                    result["cluster_batch"], result["cluster_valid"], gt, c.head,
-                )
+            det = cluster_head_loss(
+                result["cls_logits"], result["reg_preds"], result["cluster_xyz"],
+                result["cluster_batch"], result["cluster_valid"], gt, c.head,
             )
+            for k in det:
+                if k.startswith("loss"):
+                    det[k] = det[k] * detection_weight
+            losses.update(det)
             result["losses"] = losses
         return result
 
