@@ -133,10 +133,11 @@ def make_generic_train_step(forward, tx) -> Callable:
 
 
 def fsd_forward_fn(model, batch_size: int):
-    def forward(params, batch_stats, pb, gt):
+    def forward(params, batch_stats, pb, gt, thresh_buffer=0.0, det_weight=1.0):
         out, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            pb, batch_size, gt, True, mutable=["batch_stats"],
+            pb, batch_size, gt, True, thresh_buffer, det_weight,
+            mutable=["batch_stats"],
         )
         return out["losses"], updates["batch_stats"]
 

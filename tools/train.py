@@ -42,6 +42,10 @@ def parse_args():
     p.add_argument("--log-interval", type=int, default=20)
     p.add_argument("--ckpt-interval", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pretrain-steps", type=int, default=0,
+                   help="segmentor-only warmup: detection losses gated off")
+    p.add_argument("--threshold-buffer", type=float, default=0.0,
+                   help="initial fg-threshold buffer, decays to 0 by 2x pretrain steps")
     p.add_argument("--cpu", action="store_true", help="force host CPU backend")
     return p.parse_args()
 
@@ -179,12 +183,22 @@ def main():
         step_fn = make_generic_train_step(fsf_forward_fn(model, batch_size), tx)
     else:
         step_fn = make_train_step(model, tx, batch_size)
+    schedule = RuntimeSchedule(
+        enable_detection_step=args.pretrain_steps,
+        threshold_buffer_start=args.threshold_buffer,
+        threshold_buffer_end_step=2 * args.pretrain_steps,
+    )
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
     t0 = time.time()
     start = int(state.step)
     for i in range(start, total_steps):
         batch = next(it)
-        state, loss, losses = step_fn(state, *batch)
+        if not use_fsf:
+            buf = jnp.float32(schedule.threshold_buffer(i))
+            detw = jnp.float32(1.0 if schedule.enable_detection(i) else 0.0)
+            state, loss, losses = step_fn(state, *batch, buf, detw)
+        else:
+            state, loss, losses = step_fn(state, *batch)
         if (i + 1) % args.log_interval == 0:
             loss_v = float(loss)
             dt = (time.time() - t0) / args.log_interval
