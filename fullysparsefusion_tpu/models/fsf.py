@@ -137,6 +137,8 @@ class FSF(nn.Module):
         gt: Optional[GroundTruth] = None,
         no_aug_gt: Optional[GroundTruth] = None,
         train: bool = False,
+        thresh_buffer=0.0,
+        detection_weight=1.0,
     ) -> Dict:
         c = self.cfg
         f = c.fsd
@@ -161,7 +163,7 @@ class FSF(nn.Module):
         fr_out = self.frustum_head(fr["obj_feat"], fr["obj_valid"], train)
 
         # ③ LiDAR queries
-        fsd = self.fsd_branch(pb_inner, seg_out, batch_size, train)
+        fsd = self.fsd_branch(pb_inner, seg_out, batch_size, train, thresh_buffer)
 
         # ④ fusion
         centers = jnp.concatenate([fr["obj_centers"], fsd["cluster_xyz"]])
@@ -226,6 +228,9 @@ class FSF(nn.Module):
 
         if gt is not None:
             losses = self._losses(pb_inner, cam, gt, no_aug_gt, result, fr, fsd, fr_out)
+            for k in list(losses):
+                if k.startswith(("frustum_loss", "fsd_loss", "stage")) and "loss" in k:
+                    losses[k] = losses[k] * detection_weight
             result["losses"] = losses
         return result
 

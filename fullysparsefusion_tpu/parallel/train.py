@@ -145,10 +145,12 @@ def fsd_forward_fn(model, batch_size: int):
 
 
 def fsf_forward_fn(model, batch_size: int):
-    def forward(params, batch_stats, pb, cam, gt, no_aug_gt):
+    def forward(params, batch_stats, pb, cam, gt, no_aug_gt,
+                thresh_buffer=0.0, det_weight=1.0):
         out, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            pb, cam, batch_size, gt, no_aug_gt, True, mutable=["batch_stats"],
+            pb, cam, batch_size, gt, no_aug_gt, True,
+            thresh_buffer, det_weight, mutable=["batch_stats"],
         )
         return out["losses"], updates["batch_stats"]
 
