@@ -9,8 +9,13 @@ fusion + cascade refinement at ~100 ms/frame-class latencies on A100-class
 GPUs) until a measured baseline lands.
 
 Scene: synthetic nuScenes-scale input — 131k points (10-sweep scale after
-range filter), 6 cameras with 450×800 instance masks (2× downsampled from
-900×1600), batch 1, full-size UNet/SIR/head channels.
+range filter) generated with the surface-like scan model (fixtures
+``make_lidar_scene``: ground rings + facades + object shells, re-scanned per
+sweep) whose per-stage voxel occupancies match real frames (~50k stage-0,
+~37k/20k/7k/2k deeper — ROADMAP profile ~60k/15-25k); 6 cameras with
+450×800 instance masks (2× downsampled from 900×1600), batch 1, full-size
+UNet/SIR/head channels. UNet stage capacities are sized to those measured
+occupancies +~10% headroom instead of the generic halving schedule.
 """
 import json
 import os
@@ -41,24 +46,27 @@ def build_bench_model():
 
     _enable_compile_cache()
     from fullysparsefusion_tpu.config import (
-        FSDConfig, FSFConfig, Capacities,
+        FSDConfig, FSFConfig, Capacities, VoteSegmentorConfig,
     )
     from fullysparsefusion_tpu.models.fsf import FSF
 
-    vox = int(os.environ.get("FSF_BENCH_VOXELS", 65536))
+    vox = int(os.environ.get("FSF_BENCH_VOXELS", 57344))
     caps = Capacities(
-        points=131072, voxels=vox, prevox=vox,
+        points=131072, voxels=vox, prevox=65536,
         fg_per_group=4096, cluster_voxels_per_group=1024, clusters=1024,
         max_gt=128, frustum_points=16384, frustum_objects=256,
         roi_points=32768, max_roi_points=512,
     )
-    cfg = FSFConfig(fsd=FSDConfig(caps=caps))
+    # per-stage active-set capacities from measured scan occupancy (+10%)
+    seg = VoteSegmentorConfig(
+        unet_stage_capacities=(vox, 40960, 24576, 8192, 2560),
+    )
+    cfg = FSFConfig(fsd=FSDConfig(caps=caps, segmentor=seg))
 
-    from fixtures import make_scene, make_camera_data, with_noaug_channels
+    from fixtures import make_lidar_scene, make_camera_data, with_noaug_channels
 
-    pb, gt = make_scene(
-        seed=0, batch_size=1, boxes_per_sample=32, pts_per_box=200,
-        bg_points=100000, n_cap=caps.points, max_gt=caps.max_gt, extent=45.0,
+    pb, gt = make_lidar_scene(
+        seed=0, n_cap=caps.points, max_gt=caps.max_gt, n_boxes=32, extent=48.0,
     )
     cam = make_camera_data(
         pb, gt, batch_size=1, num_cams=cfg.num_cams,

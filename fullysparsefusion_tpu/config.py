@@ -81,6 +81,10 @@ class VoteSegmentorConfig:
         (1, 1, 1), (1, 1, 1), (1, 1, 0), (1, 1, 1)
     )
     unet_capacity_divisors: Tuple[int, ...] = (1, 1, 2, 4, 8)
+    # explicit per-stage active-set capacities (overrides the divisors when
+    # set) — size these from measured occupancies, e.g. real nuScenes frames
+    # run ~60k stage-0 voxels but only 15-25k after the first stride
+    unet_stage_capacities: Optional[Tuple[int, ...]] = None
     head_hidden_dims: Tuple[int, ...] = (128, 128)
     # losses
     seg_loss_weight: float = 10.0

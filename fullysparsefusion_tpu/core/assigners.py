@@ -54,10 +54,14 @@ def project_gt_boxes_2d(
     """Project 3D boxes to axis-aligned 2D boxes on one camera.
 
     Reference (hybrid_assigner.py:190-255) clips the corner convex hull to
-    the canvas via shapely; we take the canvas-clamped corner AABB — equal
-    except for boxes whose hull crosses a canvas corner diagonally.
+    the canvas via shapely and boxes the result; ``hull_canvas_aabb`` is the
+    exact vectorized equivalent (candidate-point method), so boxes whose
+    hull crosses a canvas corner diagonally get the true clipped extent
+    rather than the over-covering clamped AABB.
     Returns (bboxes_2d [G, 4] xyxy, valid [G]).
     """
+    from ..ops.geometry import hull_canvas_aabb
+
     corners = corners_3d(gt_boxes[:, :7])  # [G, 8, 3]
     g = corners.shape[0]
     pts4 = jnp.concatenate([corners, jnp.ones((g, 8, 1), corners.dtype)], axis=-1)
@@ -65,14 +69,12 @@ def project_gt_boxes_2d(
     depth = proj[..., 2]
     any_front = jnp.any(depth > 1e-5, axis=1)
     z = jnp.clip(depth, 1e-5, 1e5)
-    u = proj[..., 0] / z
-    v = proj[..., 1] / z
-    x1 = jnp.clip(jnp.min(u, axis=1), 0, img_w)
-    x2 = jnp.clip(jnp.max(u, axis=1), 0, img_w)
-    y1 = jnp.clip(jnp.min(v, axis=1), 0, img_h)
-    y2 = jnp.clip(jnp.max(v, axis=1), 0, img_h)
-    bboxes = jnp.stack([x1, y1, x2, y2], axis=1)
-    valid = any_front & (x2 > x1) & (y2 > y1)
+    uv = jnp.stack([proj[..., 0] / z, proj[..., 1] / z], axis=-1)  # [G, 8, 2]
+    bboxes, nonempty = hull_canvas_aabb(uv, float(img_w), float(img_h))
+    valid = (
+        any_front & nonempty
+        & (bboxes[:, 2] > bboxes[:, 0]) & (bboxes[:, 3] > bboxes[:, 1])
+    )
     return bboxes, valid
 
 

@@ -143,6 +143,101 @@ def load_sample_masks_single_channel(
     return masks, anno
 
 
+WAYMO_CLASS_NAMES = ("vehicle", "pedestrian", "cyclist")
+
+
+def _nearest_resize(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    h, w = hw
+    if img.shape[:2] == (h, w):
+        return img
+    ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+    xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+    return img[ys][:, xs]
+
+
+def _flatten_nested_anno(raw: dict, class_names: Sequence[str]) -> List[dict]:
+    """Reference Waymo anno layout {cam_id: {cls_name: [objs]}} → flat rows
+    (reorg_anno_multi_cls input, loading.py:301-339). obj_ids are assigned
+    globally by descending score when absent."""
+    rows = []
+    for cam_id, per_cls in raw.items():
+        for cls_name, objs in per_cls.items():
+            cat = class_names.index(cls_name) if cls_name in class_names else -1
+            for o in objs:
+                rows.append(dict(
+                    bbox=o["bbox"], score=o.get("score", 1.0),
+                    category=o.get("category", cat), cam_id=int(cam_id),
+                    obj_id=o.get("obj_id", -1),
+                ))
+    if any(r["obj_id"] < 0 for r in rows):
+        rows.sort(key=lambda r: -r["score"])
+        for i, r in enumerate(rows):
+            r["obj_id"] = i
+    return rows
+
+
+def load_sample_masks_waymo(
+    mask_dir: str,
+    sample_idx: str,
+    lidar2img: np.ndarray,            # [cams, 4, 4]; returned rescaled
+    img_hw: Tuple[int, int] = (1280, 1920),
+    class_names: Sequence[str] = WAYMO_CLASS_NAMES,
+    num_cams: int = 5,
+    resize_cams: Sequence[int] = (3, 4),
+    max_anno: int = 250,
+    downsample: int = 1,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Waymo variant (load_waymo, loading.py:141-167): 5 cameras × 3 named
+    class PNGs ``{cam}_{name}.png``; the two back cameras have a different
+    native resolution and are nearest-resized onto the common grid with the
+    matching lidar2img row scaling (resize_img_waymo, loading.py:98-139).
+    Returns (masks [cams, cls, H/d, W/d], anno [A, 9], lidar2img).
+    """
+    h, w = img_hw
+    hs, ws = h // downsample, w // downsample
+    nc = len(class_names)
+    masks = np.zeros((num_cams, nc, hs, ws), np.int32)
+    l2i = np.asarray(lidar2img, np.float32).copy()
+    sdir = os.path.join(mask_dir, str(sample_idx))
+    anno_path = os.path.join(sdir, "anno.json")
+    if not os.path.isfile(anno_path):
+        return masks, np.zeros((max_anno, 9), np.float32), l2i
+    with open(anno_path) as f:
+        raw = json.load(f)
+    if isinstance(raw, dict) and raw and not isinstance(next(iter(raw.values())), (int, float, str)):
+        flat = _flatten_nested_anno(raw, class_names)
+    else:
+        flat = raw if isinstance(raw, list) else raw.get("annos", [])
+    anno = reorg_anno(flat, max_anno)
+    scaled_cams = set()
+    for cam in range(num_cams):
+        for ci, name in enumerate(class_names):
+            p = os.path.join(sdir, f"{cam}_{name}.png")
+            if not os.path.isfile(p):
+                p2 = os.path.join(sdir, f"{cam}_{ci}.png")  # index-named fallback
+                if not os.path.isfile(p2):
+                    continue
+                p = p2
+            img = _read_png(p).astype(np.int32)
+            if cam in resize_cams and img.shape[:2] != (h, w):
+                if cam not in scaled_cams:  # once per camera, not per class
+                    scaled_cams.add(cam)
+                    l2i[cam, 0] *= w / img.shape[1]
+                    l2i[cam, 1] *= h / img.shape[0]
+                    # rescale the camera's anno bboxes too (resize_img_waymo)
+                    sel = anno[:, 6] == cam
+                    anno[sel, 0] *= w / img.shape[1]
+                    anno[sel, 2] *= w / img.shape[1]
+                    anno[sel, 1] *= h / img.shape[0]
+                    anno[sel, 3] *= h / img.shape[0]
+                img = _nearest_resize(img, (h, w))
+            masks[cam, ci] = img[::downsample, ::downsample]
+    if downsample > 1:
+        anno = anno.copy()
+        anno[:, :4] /= downsample
+    return masks, anno, l2i
+
+
 def make_camera_batch(
     samples_masks: List[np.ndarray],
     samples_annos: List[np.ndarray],

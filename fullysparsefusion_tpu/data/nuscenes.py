@@ -69,9 +69,21 @@ def aggregate_sweeps(
     key_time = info["timestamp"] / 1e6
     out = [np.concatenate([key, np.zeros((len(key), 1), np.float32)], 1)]
     sweeps = info.get("sweeps", [])
-    chosen = sweeps[:num_sweeps]
+    if rng is not None and len(sweeps) > num_sweeps:
+        # training: random sweep subset (LoadPointsFromMultiSweeps, mmdet3d
+        # loading.py: np.random.choice without replacement when not test_mode)
+        chosen = [sweeps[i] for i in sorted(
+            rng.choice(len(sweeps), num_sweeps, replace=False)
+        )]
+    else:
+        chosen = sweeps[:num_sweeps]
     for sw in chosen:
         pts = load_points_bin(os.path.join(data_root, sw["data_path"]))
+        # remove_close=True (reference nuscenes_dataloader.py:70): drop
+        # near-ego returns in the SENSOR frame before ego-motion compensation
+        # so past ego/vehicle body points don't smear through the key frame.
+        close = (np.abs(pts[:, 0]) < 1.0) & (np.abs(pts[:, 1]) < 1.0)
+        pts = pts[~close]
         r = np.asarray(sw["sensor2lidar_rotation"], np.float32)
         t = np.asarray(sw["sensor2lidar_translation"], np.float32)
         xyz = pts[:, :3] @ r.T + t
@@ -96,6 +108,16 @@ class NuScenesReader:
     point_cloud_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     with_cbgs: bool = True
     seed: int = 0
+    # GT-paste augmentation (MyObjectSample, loading.py:416-533): a
+    # GTPasteSampler instance; ``paste_enabled`` is flipped by the train loop
+    # from RuntimeSchedule.augmentation_enabled (DisableAugmentationHook).
+    gt_sampler: Optional[object] = None
+    paste_enabled: bool = True
+    # pre-computed 2D instance masks (LoadMaskFromFiles) for FSF training
+    mask_dir: Optional[str] = None
+    mask_hw: Sequence[int] = (900, 1600)
+    mask_downsample: int = 2
+    num_mask_classes: int = 10
 
     def __post_init__(self):
         with open(self.info_path, "rb") as f:
@@ -122,7 +144,10 @@ class NuScenesReader:
 
     def sample(self, i: int, augment: bool = True) -> Dict[str, np.ndarray]:
         info = self.infos[self._indices[i]]
-        points = aggregate_sweeps(info, self.data_root, self.num_sweeps, self.rng)
+        points = aggregate_sweeps(
+            info, self.data_root, self.num_sweeps,
+            self.rng if self.training else None,
+        )
         name_to_id = {n: i for i, n in enumerate(self.class_names)}
         gt_boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 7))), np.float32)
         names = [NUSC_CLASS_MAP.get(n, n) for n in info.get("gt_names", [])]
@@ -137,7 +162,20 @@ class NuScenesReader:
 
         points = P.normalize_intensity(points, dim=3)
         points = P.save_noaug_channels(points)
-        no_aug_gt = gt_boxes.copy()
+        if (self.training and augment and self.paste_enabled
+                and self.gt_sampler is not None):
+            # paste BEFORE the global transforms (reference pipeline order:
+            # MyObjectSample precedes MyGlobalRotScaleTrans)
+            pasted = self.gt_sampler(dict(
+                points=points, gt_boxes=gt_boxes, gt_labels=gt_labels,
+                no_aug_gt_boxes=gt_boxes.copy(),
+            ))
+            points = pasted["points"]
+            gt_boxes = pasted["gt_boxes"]
+            gt_labels = pasted["gt_labels"]
+            no_aug_gt = pasted["no_aug_gt_boxes"]
+        else:
+            no_aug_gt = gt_boxes.copy()
         if self.training and augment:
             tp = P.sample_transform_params(self.rng)
             # transform only the live xyz channels, not the saved no-aug tail

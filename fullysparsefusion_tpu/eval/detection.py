@@ -2,15 +2,22 @@
 
 The reference delegates evaluation to the nuScenes devkit / av2 API
 (argo2_dataset.py:429-511); neither ships in this environment, so the
-framework carries its own implementation of the published protocol:
+framework carries its own implementation of the published protocol
+(nuscenes-devkit eval/detection/{algo,evaluate}.py semantics):
 
+  * per-class range filtering: GT and predictions beyond the class's ego
+    range (50 m vehicles / 40 m pedestrian+bikes / 30 m cone+barrier) are
+    dropped before matching (devkit ``filter_eval_boxes``);
   * matching: per class, predictions sorted by score greedily match the
     nearest unmatched GT by BEV *center distance* under thresholds
-    {0.5, 1, 2, 4} m (nuScenes) — not IoU;
-  * AP: normalized area under the precision-recall curve for
-    recall/precision > 0.1 (nuScenes clipping convention);
-  * TP metrics at the 2.0 m threshold: ATE (BEV translation), ASE
-    (1 − aligned 3D IoU), AOE (min yaw diff), AVE (velocity L2);
+    {0.5, 1, 2, 4} m — not IoU;
+  * AP: 101-point interpolated precision with recall/precision clipped
+    below 0.1, no monotone envelope (devkit ``calc_ap``);
+  * TP metrics at the 2.0 m threshold (devkit ``calc_tp``): the cumulative
+    mean of each error over confidence-ranked matches, interpolated onto the
+    recall axis and averaged over [0.1, max_recall]. ATE (BEV translation),
+    ASE (1 − aligned 3D IoU), AOE (yaw diff; period π for barrier; skipped
+    for traffic_cone), AVE (velocity L2; skipped for cone+barrier);
   * NDS = (5·mAP + Σ_tp max(0, 1 − err/norm)) / (5 + n_tp). AAE needs
     attribute predictions the model doesn't produce; it is excluded from
     the denominator rather than faked.
@@ -24,14 +31,23 @@ import numpy as np
 
 DIST_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
 TP_THRESHOLD = 2.0
+MIN_RECALL = 0.1
+MIN_PRECISION = 0.1
 # nuScenes normalizers for TP errors
 TP_NORMS = {"ate": 0.5, "ase": 0.5, "aoe": np.pi / 2, "ave": 1.0}
+# devkit class_range (eval/detection/configs/detection_cvpr_2019.json)
+CLASS_RANGES = {
+    "car": 50.0, "truck": 50.0, "bus": 50.0, "trailer": 50.0,
+    "construction_vehicle": 50.0, "pedestrian": 40.0, "motorcycle": 40.0,
+    "bicycle": 40.0, "traffic_cone": 30.0, "barrier": 30.0,
+}
+DEFAULT_RANGE = 50.0
 
 
 @dataclass
 class DetectionRecord:
     """One sample's detections + ground truth (arrays, box layout [x,y,z_b,
-    dx,dy,dz,yaw(,vx,vy)])."""
+    dx,dy,dz,yaw(,vx,vy)], ego at the origin of the frame)."""
 
     boxes: np.ndarray
     scores: np.ndarray
@@ -47,35 +63,56 @@ def _aligned_iou_3d(a: np.ndarray, b: np.ndarray) -> float:
     return float(inter / max(union, 1e-9))
 
 
-def _yaw_diff(a: float, b: float) -> float:
-    d = abs(a - b) % (2 * np.pi)
-    return min(d, 2 * np.pi - d)
+def _yaw_diff(a: float, b: float, period: float = 2 * np.pi) -> float:
+    d = abs(a - b) % period
+    return min(d, period - d)
 
 
 def _accumulate_class(
-    records: Sequence[DetectionRecord], cls: int, dist_th: float
+    records: Sequence[DetectionRecord], cls: int, dist_th: float,
+    class_name: str = "",
 ):
-    """Greedy score-ordered matching for one (class, threshold)."""
+    """Greedy score-ordered matching for one (class, threshold).
+
+    Returns (ap, match_errors, match_recall) where the error lists are in
+    confidence order (devkit ``accumulate``), or None when the class has no
+    GT in range.
+    """
+    max_range = CLASS_RANGES.get(class_name, DEFAULT_RANGE)
     preds = []  # (score, sample_idx, box)
     n_gt = 0
+    gts, gidxs = [], []
     for si, r in enumerate(records):
         m = r.labels == cls
         for b, s in zip(r.boxes[m], r.scores[m]):
-            preds.append((float(s), si, b))
-        n_gt += int((r.gt_labels == cls).sum())
+            if np.hypot(b[0], b[1]) <= max_range:  # devkit range filter
+                preds.append((float(s), si, b))
+        gm = r.gt_labels == cls
+        gt = r.gt_boxes[gm]
+        in_range = np.hypot(gt[:, 0], gt[:, 1]) <= max_range if len(gt) else np.zeros(0, bool)
+        gts.append(gt[in_range])
+        gidxs.append(np.where(gm)[0][in_range])
+        n_gt += int(in_range.sum())
     if n_gt == 0:
         return None
     if not preds:
-        return 0.0, {"ate": [], "ase": [], "aoe": [], "ave": []}
+        return 0.0, {k: ([], []) for k in ("ate", "ase", "aoe", "ave")}
     preds.sort(key=lambda x: -x[0])
     taken = [set() for _ in records]
     tp, fp = [], []
-    errs = {"ate": [], "ase": [], "aoe": [], "ave": []}
+    # each metric: (values, recall level at its own match events) — AOE/AVE
+    # skip classes/boxes, so recalls are tracked per metric
+    errs = {k: ([], []) for k in ("ate", "ase", "aoe", "ave")}
+
+    def push(key, val, rec):
+        errs[key][0].append(val)
+        errs[key][1].append(rec)
+
+    aoe_period = np.pi if class_name == "barrier" else 2 * np.pi
+    n_tp = 0
     for score, si, box in preds:
-        r = records[si]
-        gm = r.gt_labels == cls
-        gt = r.gt_boxes[gm]
-        gidx = np.where(gm)[0]
+        gt = gts[si]
+        gidx = gidxs[si]
         best, best_d = -1, dist_th
         for j in range(len(gt)):
             if gidx[j] in taken[si]:
@@ -87,12 +124,16 @@ def _accumulate_class(
             taken[si].add(gidx[best])
             tp.append(1.0)
             fp.append(0.0)
+            n_tp += 1
+            rec = n_tp / n_gt
             g = gt[best]
-            errs["ate"].append(best_d)
-            errs["ase"].append(1.0 - _aligned_iou_3d(box, g))
-            errs["aoe"].append(_yaw_diff(float(box[6]), float(g[6])))
-            if len(box) >= 9 and len(g) >= 9:
-                errs["ave"].append(float(np.hypot(box[7] - g[7], box[8] - g[8])))
+            push("ate", best_d, rec)
+            push("ase", 1.0 - _aligned_iou_3d(box, g), rec)
+            if class_name != "traffic_cone":
+                push("aoe", _yaw_diff(float(box[6]), float(g[6]), aoe_period), rec)
+            if (class_name not in ("traffic_cone", "barrier")
+                    and len(box) >= 9 and len(g) >= 9):
+                push("ave", float(np.hypot(box[7] - g[7], box[8] - g[8])), rec)
         else:
             tp.append(0.0)
             fp.append(1.0)
@@ -100,13 +141,33 @@ def _accumulate_class(
     fp = np.cumsum(fp)
     recall = tp / n_gt
     precision = tp / np.maximum(tp + fp, 1e-9)
-    # nuScenes AP: 101-point interpolation, clipped below 0.1 recall/precision
+    # nuScenes AP (devkit calc_ap): 101-point raw interpolated precision,
+    # recall and precision clipped below 0.1, no monotone envelope.
     rec_interp = np.linspace(0, 1, 101)
     prec_at = np.interp(rec_interp, recall, precision, right=0)
-    prec_at = np.maximum.accumulate(prec_at[::-1])[::-1]  # monotone envelope
-    mask = rec_interp >= 0.1
-    ap = float(np.mean(np.clip(prec_at[mask] - 0.1, 0, 1)) / 0.9)
+    mask = rec_interp >= MIN_RECALL
+    ap = float(np.mean(np.clip(prec_at[mask] - MIN_PRECISION, 0, 1)) / (1 - MIN_PRECISION))
     return ap, errs
+
+
+def _tp_error(metric_vals: List[float], metric_recall: List[float]) -> float:
+    """devkit ``calc_tp``: cumulative-mean error over confidence-ranked
+    matches, interpolated onto the recall axis, averaged over
+    [MIN_RECALL, max_recall]."""
+    if not metric_vals:
+        return np.nan
+    v = np.asarray(metric_vals, np.float64)
+    r = np.asarray(metric_recall, np.float64)
+    cummean = np.cumsum(v) / np.arange(1, len(v) + 1)
+    max_recall = float(r[-1])
+    if max_recall <= MIN_RECALL:
+        return 1.0  # devkit convention: no recall past min ⇒ error 1
+    rec_interp = np.linspace(0, 1, 101)
+    sel = (rec_interp >= MIN_RECALL) & (rec_interp <= max_recall)
+    if not sel.any():
+        return 1.0
+    interp = np.interp(rec_interp[sel], r, cummean)
+    return float(np.mean(interp))
 
 
 def evaluate_detections(
@@ -119,22 +180,23 @@ def evaluate_detections(
     ap_table: Dict[str, Dict[float, float]] = {}
     tp_table: Dict[str, Dict[str, float]] = {}
     for c in range(num_classes):
+        cname = class_names[c]
         aps = {}
         tp_errs = None
         for th in DIST_THRESHOLDS:
-            out = _accumulate_class(records, c, th)
+            out = _accumulate_class(records, c, th, cname)
             if out is None:
                 continue
             ap, errs = out
             aps[th] = ap
             if th == TP_THRESHOLD:
                 tp_errs = {
-                    k: float(np.mean(v)) if v else np.nan for k, v in errs.items()
+                    k: _tp_error(vals, recs) for k, (vals, recs) in errs.items()
                 }
         if aps:
-            ap_table[class_names[c]] = aps
+            ap_table[cname] = aps
             if tp_errs:
-                tp_table[class_names[c]] = tp_errs
+                tp_table[cname] = tp_errs
 
     if not ap_table:
         return {"mAP": 0.0, "NDS": 0.0, "per_class": {}}

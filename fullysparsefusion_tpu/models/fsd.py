@@ -166,17 +166,23 @@ def hybrid_cluster_one_group(
     method: str = "ccl",
     num_fps: int = 256,
     radius: float = 1.0,
+    max_batch: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-class clustering dispatch (reference HybridAssigner,
     single_stage_fsd.py:1087-1177): 'ccl' → connected components,
-    'ssg' → FPS + ball grouping."""
+    'ssg' → FPS + ball grouping.
+
+    ``max_batch`` must be ≥ the per-shard batch size in the 'ssg' path: the
+    per-sample loop is unrolled to this static bound, and samples beyond it
+    would silently get no clusters. Callers with larger batches must pass it.
+    """
     if method == "ccl":
         return cluster_one_group(centers, batch_idx, valid, group_id, cfg)
     from ..ops.fps import ssg_cluster
 
     # ssg operates per batch element; offset labels to keep them disjoint
     lab = jnp.full(centers.shape[:1], -1, jnp.int32)
-    for b in range(8):  # static upper bound on per-shard batch
+    for b in range(max_batch):
         m = valid & (batch_idx == b)
         lab_b = ssg_cluster(centers, batch_idx, m, num_fps, radius)
         lab = jnp.where(m & (lab_b >= 0), lab_b + b * num_fps, lab)

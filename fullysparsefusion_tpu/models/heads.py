@@ -7,10 +7,14 @@ groups (the shipped configs use a single task containing every class).
 Loss/assignment semantics follow sparse_cluster_head.py:
   * clusters are assigned by cluster-center-in-GT-box (assign_single :364-397)
     or nearest-BEV-center distance (assign_by_dist_single :399-457);
-  * focal classification over all valid clusters (avg = global valid count);
-  * per-component L1 on coder-encoded targets for positives (avg = global
-    positive count) — under a sharded jit step these sums are global, which
-    replaces the reference's explicit ``reduce_mean`` all-reduces;
+  * focal classification over all valid clusters (avg = valid count);
+  * per-component L1 on coder-encoded targets for positives (avg = positive
+    count). Under the shard_map DP step the avg factors are ``pmean``'d over
+    the mesh axis (``layers.mesh_mean``) — the TPU form of the reference's
+    ``reduce_mean`` all-reduces (sparse_cluster_head.py:140-161,
+    sync_cls/reg_avg_factor=True); combined with the gradient ``pmean`` this
+    reproduces single-device global-batch normalization exactly
+    (tests/test_train.py::test_sharded_losses_match_single_device);
   * velocity loss weight zeroed for copy-pasted GT via the flag column
     (sparse_cluster_head_v2.py:425-432).
 """
@@ -28,7 +32,7 @@ from ..core import losses as L
 from ..ops.geometry import points_box_assignment_batched
 from ..ops.nms import multiclass_nms_bev, NMSResult
 from ..utils.containers import GroundTruth
-from .layers import MLP
+from .layers import MLP, mesh_mean
 
 
 class SeparateHead(nn.Module):
@@ -43,7 +47,10 @@ class SeparateHead(nn.Module):
     def __call__(self, x, valid=None, train: bool = False) -> Dict[str, jax.Array]:
         out = {}
         for name, out_dim, num_layers, hidden in self.attrs:
-            dims = tuple([hidden] * (num_layers - 1) + [out_dim])
+            # build_mlp(in, [hidden]*num_layer + [out], is_head=True)
+            # (sparse_cluster_head_v2.py:32): num_layers hidden Linears+LN+act
+            # then a bare biased head Linear.
+            dims = tuple([hidden] * num_layers + [out_dim])
             out[name] = MLP(dims, norm=self.norm, act=self.act, is_head=True)(
                 x, valid, train
             )
@@ -121,7 +128,7 @@ def cluster_head_loss(
     # focal classification: one-hot over real classes, bg rows all-zero
     onehot = jax.nn.one_hot(labels, num_classes, dtype=cls_logits.dtype)
     focal = L.sigmoid_focal_loss(cls_logits, onehot, cfg.focal_gamma, cfg.focal_alpha)
-    cls_avg = jnp.sum(cluster_valid.astype(cls_logits.dtype))
+    cls_avg = mesh_mean(jnp.sum(cluster_valid.astype(cls_logits.dtype)))
     loss_cls = cfg.loss_cls_weight * jnp.sum(
         focal * cluster_valid[:, None]
     ) / jnp.maximum(cls_avg, 1.0)
@@ -129,7 +136,7 @@ def cluster_head_loss(
     # regression
     targets = coder.encode(flat_boxes[safe], cluster_xyz)
     w = pos.astype(reg_preds.dtype)
-    num_pos = jnp.sum(w)
+    num_pos = mesh_mean(jnp.sum(w))
     diff = jnp.abs(reg_preds - targets) * w[:, None]
 
     def part(sl, weight):

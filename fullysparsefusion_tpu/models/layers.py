@@ -18,9 +18,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-# Cross-replica axis for BN statistics (syncBN). Set while tracing a
-# shard_map'ped train step; None → local statistics. A trace-time constant,
-# so a contextvar is safe under jit.
+# Cross-replica mesh axis. Set while tracing a shard_map'ped train step;
+# None → fully local math. A trace-time constant, so a contextvar is safe
+# under jit. Consulted by (a) MaskedBatchNorm for syncBN statistics and
+# (b) the detection losses for globally-synced avg factors (the reference's
+# mmdet ``reduce_mean`` all-reduces, sparse_cluster_head.py:140-161 with
+# sync_cls/reg_avg_factor=True in FSF_nuScenes_config.py:160).
 _BN_AXIS: contextvars.ContextVar[Optional[str]] = contextvars.ContextVar(
     "bn_axis", default=None
 )
@@ -28,12 +31,24 @@ _BN_AXIS: contextvars.ContextVar[Optional[str]] = contextvars.ContextVar(
 
 @contextlib.contextmanager
 def bn_axis(name: Optional[str]):
-    """Enable cross-replica (syncBN) statistics for MaskedBatchNorm."""
+    """Enable cross-replica statistics (syncBN + synced loss normalizers)."""
     tok = _BN_AXIS.set(name)
     try:
         yield
     finally:
         _BN_AXIS.reset(tok)
+
+
+def mesh_mean(x: jax.Array) -> jax.Array:
+    """``pmean`` over the active mesh axis (identity outside shard_map).
+
+    DDP-equivalence for loss normalizers: mmdet's ``reduce_mean(avg_factor)``
+    is the cross-rank MEAN; together with the gradient ``pmean`` this makes
+    the effective loss ``global_sum / global_count`` — identical to a
+    single-device run on the concatenated batch.
+    """
+    axis = _BN_AXIS.get()
+    return jax.lax.pmean(x, axis) if axis is not None else x
 
 
 def get_activation(name: str):

@@ -22,7 +22,7 @@ from ..core import losses as L
 from ..ops.geometry import boxes_iou_3d
 from ..ops.nms import multiclass_nms_bev, NMSResult
 from ..utils.containers import GroundTruth
-from .layers import MLP
+from .layers import MLP, mesh_mean
 from .roi import extract_roi_points, FullySparseBboxHead
 
 
@@ -129,11 +129,13 @@ def rcnn_loss(
         outs["cls_logits"], onehot, cfg.focal_gamma, cfg.focal_alpha
     )
     w = roi_valid.astype(jnp.float32)
-    loss_cls = cfg.loss_cls_weight * jnp.sum(focal * w[:, None]) / jnp.maximum(w.sum(), 1.0)
+    # avg factors pmean'd over the mesh axis under DP (see layers.mesh_mean)
+    cls_avg = mesh_mean(w.sum())
+    loss_cls = cfg.loss_cls_weight * jnp.sum(focal * w[:, None]) / jnp.maximum(cls_avg, 1.0)
 
     targets = coder.encode(flat[safe], rois[:, :3])
     pw = pos.astype(jnp.float32)
-    num_pos = pw.sum()
+    num_pos = mesh_mean(pw.sum())
     diff = jnp.abs(outs["reg_preds"] - targets) * pw[:, None]
     loss_reg = jnp.sum(diff[:, : min(8, cfg.code_size)]) / jnp.maximum(num_pos, 1.0)
     return {

@@ -72,6 +72,7 @@ class SegmentorCore(nn.Module):
             encoder_strided_paddings=c.unet_strided_paddings,
             decoder_channels=c.unet_decoder_channels,
             stage_capacity_divisors=c.unet_capacity_divisors,
+            stage_capacities=c.unet_stage_capacities,
         )(st, train)  # [voxels, out_ch]
 
         # voxel2point neck: gather voxel feature + local offset from voxel center

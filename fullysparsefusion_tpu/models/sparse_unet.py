@@ -145,6 +145,8 @@ class SparseUNet(nn.Module):
         (512, 512, 256), (256, 256, 128), (128, 128, 128), (128, 128, 128)
     )
     stage_capacity_divisors: Sequence[int] = (1, 1, 2, 4, 8)
+    # explicit per-stage capacities override the divisor formula when set
+    stage_capacities: Optional[Sequence[int]] = None
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False) -> jax.Array:
@@ -159,7 +161,10 @@ class SparseUNet(nn.Module):
         for i, widths in enumerate(self.encoder_channels):
             for j, c in enumerate(widths):
                 if i > 0 and j == 0:
-                    out_cap = max(128, cap0 // self.stage_capacity_divisors[i])
+                    if self.stage_capacities is not None:
+                        out_cap = int(self.stage_capacities[i])
+                    else:
+                        out_cap = max(128, cap0 // self.stage_capacity_divisors[i])
                     st = _DownBlock(
                         c,
                         padding=tuple(self.encoder_strided_paddings[i - 1]),

@@ -300,3 +300,92 @@ def axis_aligned_iou_2d(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
     a2 = (boxes2[:, 2] - boxes2[:, 0]) * (boxes2[:, 3] - boxes2[:, 1])
     union = a1[:, None] + a2[None, :] - inter
     return inter / jnp.maximum(union, 1e-8)
+
+
+def hull_canvas_aabb(
+    pts: jax.Array,   # [G, N, 2] projected points (N small, e.g. 8 corners)
+    img_w: float,
+    img_h: float,
+):
+    """AABB of conv(pts) ∩ [0,W]×[0,H], exactly, fully vectorized.
+
+    Matches the reference's shapely convex-hull canvas clip
+    (hybrid_assigner.py:190-255) without host calls: the extreme points of a
+    convex region clipped to a rectangle are among (a) the input points that
+    lie inside the canvas, (b) intersections of point-pair segments with the
+    four canvas border lines (hull edges are a subset of all pairs, and
+    interior chords stay inside the hull so they never over-extend), and
+    (c) canvas corners that lie inside the hull (tested against every
+    point triangle). Returns (bboxes [G,4] xyxy, nonempty [G]).
+    """
+    g, n, _ = pts.shape
+    cands, valids = [], []
+
+    # (a) original points inside the canvas
+    inside = (
+        (pts[..., 0] >= 0) & (pts[..., 0] <= img_w)
+        & (pts[..., 1] >= 0) & (pts[..., 1] <= img_h)
+    )
+    cands.append(pts)
+    valids.append(inside)
+
+    # (b) all pair segments × 4 border lines
+    ii, jj = jnp.triu_indices(n, k=1)
+    a = pts[:, ii]  # [G, P, 2]
+    b = pts[:, jj]
+    d = b - a
+    for axis, c, lo, hi in (
+        (0, 0.0, 0.0, img_h), (0, float(img_w), 0.0, img_h),
+        (1, 0.0, 0.0, img_w), (1, float(img_h), 0.0, img_w),
+    ):
+        other = 1 - axis
+        denom = d[..., axis]
+        t = (c - a[..., axis]) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        p_other = a[..., other] + t * d[..., other]
+        ok = (
+            (t >= 0.0) & (t <= 1.0) & (jnp.abs(denom) >= 1e-9)
+            & (p_other >= lo) & (p_other <= hi)
+        )
+        pt = jnp.stack([jnp.full_like(p_other, c), p_other], axis=-1)
+        if axis == 1:  # (x, y) ordering
+            pt = pt[..., ::-1]
+        cands.append(pt)
+        valids.append(ok)
+
+    # (c) canvas corners inside the hull: inside any triangle of points
+    corners = jnp.array(
+        [[0.0, 0.0], [img_w, 0.0], [0.0, img_h], [img_w, img_h]], pts.dtype
+    )  # [4, 2]
+    ti, tj, tk = jnp.stack(
+        jnp.meshgrid(jnp.arange(n), jnp.arange(n), jnp.arange(n), indexing="ij"),
+        0,
+    ).reshape(3, -1)
+    tri_ok = (ti < tj) & (tj < tk)
+    pa, pb, pc = pts[:, ti], pts[:, tj], pts[:, tk]  # [G, T, 2]
+
+    def cross(o, u, v):
+        return ((u[..., 0] - o[..., 0]) * (v[..., 1] - o[..., 1])
+                - (u[..., 1] - o[..., 1]) * (v[..., 0] - o[..., 0]))
+
+    q = corners[None, :, None, :]  # [1, 4, 1, 2]
+    s1 = cross(pa[:, None], pb[:, None], q)
+    s2 = cross(pb[:, None], pc[:, None], q)
+    s3 = cross(pc[:, None], pa[:, None], q)
+    eps = 1e-6
+    in_tri = ((s1 >= -eps) & (s2 >= -eps) & (s3 >= -eps)) | (
+        (s1 <= eps) & (s2 <= eps) & (s3 <= eps)
+    )
+    corner_in = jnp.any(in_tri & tri_ok[None, None, :], axis=-1)  # [G, 4]
+    cands.append(jnp.broadcast_to(corners[None], (g, 4, 2)))
+    valids.append(corner_in)
+
+    allc = jnp.concatenate(cands, axis=1)
+    allv = jnp.concatenate(valids, axis=1)
+    big = jnp.float32(1e9)
+    x1 = jnp.min(jnp.where(allv, allc[..., 0], big), axis=1)
+    y1 = jnp.min(jnp.where(allv, allc[..., 1], big), axis=1)
+    x2 = jnp.max(jnp.where(allv, allc[..., 0], -big), axis=1)
+    y2 = jnp.max(jnp.where(allv, allc[..., 1], -big), axis=1)
+    nonempty = jnp.any(allv, axis=1)
+    bboxes = jnp.stack([x1, y1, x2, y2], axis=1)
+    return jnp.where(nonempty[:, None], bboxes, 0.0), nonempty

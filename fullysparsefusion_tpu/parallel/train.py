@@ -103,7 +103,12 @@ def make_optimizer(
 
 
 def total_loss(losses: Dict[str, jax.Array]) -> jax.Array:
-    return sum(v for k, v in losses.items() if k.startswith("loss"))
+    """Sum every loss term; diagnostics (``*num_pos``/``num_clusters``/...)
+    are excluded by name. Matches the reference's ``parse_losses``
+    (mmdet base detector: every key containing 'loss' is summed) — FSF emits
+    prefixed keys (``frustum_loss_*``, ``fsd_loss_*``, ``stage{i}_loss_*``),
+    so a ``startswith`` filter would silently train only the segmentor."""
+    return sum(v for k, v in losses.items() if "loss" in k)
 
 
 def make_generic_train_step(forward, tx) -> Callable:
@@ -197,13 +202,22 @@ def make_generic_sharded_train_step(
         return new_state, loss, losses
 
     rep = P()
+    # batch args shard over dp; the two runtime-schedule scalars
+    # (thresh_buffer, detection_weight) replicate
     smapped = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(rep,) + (P(axis),) * n_batch_args,
+        in_specs=(rep,) + (P(axis),) * n_batch_args + (rep, rep),
         out_specs=(rep, rep, rep),
     )
-    return jax.jit(smapped)
+    jitted = jax.jit(smapped)
+
+    def step(state, *args):
+        if len(args) == n_batch_args:  # scalars optional at the call site
+            args = args + (jnp.float32(0.0), jnp.float32(1.0))
+        return jitted(state, *args)
+
+    return step
 
 
 def make_sharded_train_step(

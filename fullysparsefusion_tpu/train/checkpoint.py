@@ -74,34 +74,5 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
 
 
-def convert_linear(sd: Dict[str, np.ndarray], torch_prefix: str):
-    """torch nn.Linear → flax Dense: weight [out,in] → kernel [in,out]."""
-    out = {"kernel": sd[f"{torch_prefix}.weight"].T}
-    if f"{torch_prefix}.bias" in sd:
-        out["bias"] = sd[f"{torch_prefix}.bias"]
-    return out
-
-
-def convert_batchnorm(sd: Dict[str, np.ndarray], torch_prefix: str):
-    """torch BatchNorm1d / naiveSyncBN1d → MaskedBatchNorm params + stats."""
-    return (
-        {"scale": sd[f"{torch_prefix}.weight"], "bias": sd[f"{torch_prefix}.bias"]},
-        {
-            "mean": sd[f"{torch_prefix}.running_mean"],
-            "var": sd[f"{torch_prefix}.running_var"],
-        },
-    )
-
-
-def convert_layernorm(sd: Dict[str, np.ndarray], torch_prefix: str):
-    return {"scale": sd[f"{torch_prefix}.weight"], "bias": sd[f"{torch_prefix}.bias"]}
-
-
-def convert_spconv_weight(w: np.ndarray) -> np.ndarray:
-    """spconv SubMConv3d weight → our [K³, Cin, Cout] layout.
-
-    spconv v2 stores [Cout, kz, ky, kx, Cin] (native layout); our flat index
-    is z-major (kz*K² + ky*K + kx) with [Cin, Cout] per tap.
-    """
-    cout, kz, ky, kx, cin = w.shape
-    return np.transpose(w, (1, 2, 3, 4, 0)).reshape(kz * ky * kx, cin, cout)
+# Tensor-level torch↔flax layout rules live in torch_map.py (complete map,
+# round-trip tested); this module only reads the raw state_dict.

@@ -26,9 +26,16 @@ class RuntimeSchedule:
         return step >= self.enable_detection_step
 
     def threshold_buffer(self, step: int) -> float:
-        if self.threshold_buffer_end_step <= 0:
+        """Buffer applies only once detection is enabled, then decays
+        linearly to 0 over [enable_detection_step, threshold_buffer_end_step]
+        (fsd_hooks.py:86-89: the hook sets the buffer when it enables
+        detection and decays it over ``buffer_iter`` from there)."""
+        if self.threshold_buffer_end_step <= self.enable_detection_step:
             return 0.0
-        frac = min(step / self.threshold_buffer_end_step, 1.0)
+        if step < self.enable_detection_step:
+            return 0.0
+        span = self.threshold_buffer_end_step - self.enable_detection_step
+        frac = min((step - self.enable_detection_step) / span, 1.0)
         return self.threshold_buffer_start * (1.0 - frac)
 
     def augmentation_enabled(self, step: int) -> bool:

@@ -93,3 +93,47 @@ def test_av2_feather_rows():
     q = yaw_to_quat_wxyz(np.array([np.pi / 2]))[0]
     assert q[0] == pytest.approx(np.cos(np.pi / 4))
     assert q[3] == pytest.approx(np.sin(np.pi / 4))
+
+
+def test_waymo_mask_variant(tmp_path):
+    """load_sample_masks_waymo: named per-class PNGs, nested anno layout,
+    back-camera resize with lidar2img/bbox rescaling (loading.py:141-167)."""
+    import json
+    import numpy as np
+    from PIL import Image
+    from fullysparsefusion_tpu.data.masks import load_sample_masks_waymo
+
+    sdir = tmp_path / "seg0"
+    sdir.mkdir()
+    H, W = 64, 96
+    # cam 0 native-res vehicle mask with instance id 1
+    m0 = np.zeros((H, W), np.uint8)
+    m0[10:20, 30:50] = 1
+    Image.fromarray(m0).save(sdir / "0_vehicle.png")
+    # cam 3 (back) at HALF resolution — must be resized up
+    m3 = np.zeros((H // 2, W // 2), np.uint8)
+    m3[5:10, 15:25] = 2
+    Image.fromarray(m3).save(sdir / "3_pedestrian.png")
+    anno = {
+        "0": {"vehicle": [{"bbox": [30, 10, 50, 20], "score": 0.9, "obj_id": 0}]},
+        "3": {"pedestrian": [{"bbox": [15, 5, 25, 10], "score": 0.8, "obj_id": 1}]},
+    }
+    (sdir / "anno.json").write_text(json.dumps(anno))
+
+    l2i = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    masks, annos, l2i_out = load_sample_masks_waymo(
+        str(tmp_path), "seg0", l2i, img_hw=(H, W),
+        class_names=("vehicle", "pedestrian", "cyclist"),
+    )
+    assert masks.shape == (5, 3, H, W)
+    assert (masks[0, 0] == 1).sum() == 10 * 20
+    # back cam upsampled ×2 in each dim → 4× the pixels
+    assert (masks[3, 1] == 2).sum() == 4 * (5 * 10)
+    # lidar2img rows scaled for the resized camera only
+    assert l2i_out[3, 0, 0] == 2.0 and l2i_out[3, 1, 1] == 2.0
+    assert l2i_out[0, 0, 0] == 1.0
+    # anno bbox of cam 3 rescaled into the common grid
+    row = annos[annos[:, 6] == 3][0]
+    np.testing.assert_allclose(row[:4], [30, 10, 50, 20], atol=1e-5)
+    # categories from class names
+    assert annos[0, 5] == 0 and row[5] == 1

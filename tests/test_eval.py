@@ -62,6 +62,64 @@ def test_half_detected():
     assert 0.1 < m["mAP"] < 0.9, m
 
 
+def _box(x, y, yaw=0.3, vx=1.0, vy=0.0):
+    return np.array([x, y, -1.0, 4.0, 2.0, 1.6, yaw, vx, vy], np.float32)
+
+
+def test_devkit_ap_hand_computed():
+    """Cross-check against the devkit calc_ap formula on a hand-solvable
+    case: 2 GT, 1 TP at score .9, 1 FP at score .5. Interpolated precision
+    (np.interp, devkit semantics): 1.0 for recall < .5, 0.5 AT recall .5
+    (duplicate-x returns the last value), 0 beyond. Over the 91 recall
+    points ≥ .1: 40 points at (1-.1)/.9 = 1 plus one at (.5-.1)/.9."""
+    gt = np.stack([_box(5, 0), _box(20, 0)])
+    preds = np.stack([_box(5, 0), _box(40, 15)])  # second matches nothing
+    rec = DetectionRecord(
+        boxes=preds, scores=np.array([0.9, 0.5], np.float32),
+        labels=np.zeros(2, np.int32),
+        gt_boxes=gt, gt_labels=np.zeros(2, np.int32),
+    )
+    m = evaluate_detections([rec], 1, ["car"])
+    expect = (40 + (0.5 - 0.1) / 0.9) / 91
+    np.testing.assert_allclose(m["per_class"]["car"]["AP"], expect, atol=1e-3)
+
+
+def test_devkit_class_range_filtering():
+    """A pedestrian GT at 45 m is outside the class's 40 m eval range and
+    must be dropped (devkit filter_eval_boxes) — as must a prediction out
+    there, so the class contributes nothing."""
+    gt = np.stack([_box(45, 0)])
+    pred = np.stack([_box(45, 0)])
+    rec = DetectionRecord(
+        boxes=pred, scores=np.array([0.9], np.float32),
+        labels=np.zeros(1, np.int32),
+        gt_boxes=gt, gt_labels=np.zeros(1, np.int32),
+    )
+    m = evaluate_detections([rec], 1, ["pedestrian"])
+    assert m["per_class"] == {}, m
+    # the same geometry for 'car' (50 m range) scores a perfect AP
+    m2 = evaluate_detections([rec], 1, ["car"])
+    assert m2["per_class"]["car"]["AP"] > 0.99
+
+
+def test_devkit_barrier_yaw_period():
+    """Barrier orientation error uses period π (devkit): a 180°-flipped
+    barrier has AOE 0; for car the same flip is the max error π."""
+    gt = np.stack([_box(5, 0, yaw=0.0)])
+    pred = np.stack([_box(5, 0, yaw=np.pi)])
+    rec = lambda: DetectionRecord(
+        boxes=pred, scores=np.array([0.9], np.float32),
+        labels=np.zeros(1, np.int32),
+        gt_boxes=gt, gt_labels=np.zeros(1, np.int32),
+    )
+    mb = evaluate_detections([rec()], 1, ["barrier"])
+    mc = evaluate_detections([rec()], 1, ["car"])
+    assert mb["tp_errors"]["AOE"] < 1e-6, mb
+    np.testing.assert_allclose(mc["tp_errors"]["AOE"], np.pi, atol=1e-5)
+    # barrier/cone velocity excluded from AVE
+    assert "AVE" not in mb["tp_errors"]
+
+
 def test_noisy_translation_raises_ate():
     rng = np.random.default_rng(1)
     b, l = _scene(2)

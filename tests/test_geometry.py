@@ -141,3 +141,82 @@ def test_enlarge_boxes_keeps_gravity_center():
         np.asarray(gravity_center(e)), np.asarray(gravity_center(b)), atol=1e-6
     )
     np.testing.assert_allclose(np.asarray(e[0, 3:6]), [3, 4, 3], atol=1e-6)
+
+
+def test_hull_canvas_aabb_exact_vs_polygon_oracle():
+    """hull_canvas_aabb (exact hull-canvas AABB, the shapely-clip
+    equivalent) vs an independent oracle: scipy ConvexHull ordering +
+    numpy Sutherland-Hodgman rectangle clip. Includes a diagonal hull
+    crossing a canvas corner where the clamped-AABB approximation
+    over-covers."""
+    import numpy as np
+    import jax.numpy as jnp
+    from scipy.spatial import ConvexHull
+    from fullysparsefusion_tpu.ops.geometry import hull_canvas_aabb
+
+    def clip_rect(poly, W, H):
+        # Sutherland-Hodgman against x>=0, x<=W, y>=0, y<=H
+        def clip_half(pts, inside, intersect):
+            out = []
+            n = len(pts)
+            for i in range(n):
+                a, b = pts[i], pts[(i + 1) % n]
+                ia, ib = inside(a), inside(b)
+                if ia:
+                    out.append(a)
+                if ia != ib:
+                    out.append(intersect(a, b))
+            return out
+
+        def x_cut(c):
+            return lambda a, b: a + (b - a) * ((c - a[0]) / (b[0] - a[0]))
+
+        def y_cut(c):
+            return lambda a, b: a + (b - a) * ((c - a[1]) / (b[1] - a[1]))
+
+        p = list(poly)
+        for inside, inter in (
+            (lambda q: q[0] >= 0, x_cut(0.0)),
+            (lambda q: q[0] <= W, x_cut(W)),
+            (lambda q: q[1] >= 0, y_cut(0.0)),
+            (lambda q: q[1] <= H, y_cut(H)),
+        ):
+            if not p:
+                return []
+            p = clip_half(p, inside, inter)
+        return p
+
+    rng = np.random.default_rng(0)
+    W, H = 100.0, 60.0
+    cases = []
+    for _ in range(8):
+        cases.append(rng.uniform([-60, -40], [160, 100], (8, 2)))
+    # thin diagonal sliver crossing near the bottom-left canvas corner:
+    # clamped AABB reports a fat box, the true clipped hull is a small strip
+    t = np.linspace(0, 1, 8)[:, None]
+    sliver = (1 - t) * np.array([[-30.0, 40.0]]) + t * np.array([[40.0, -30.0]])
+    sliver += rng.normal(0, 0.5, sliver.shape)
+    cases.append(sliver)
+
+    pts = jnp.asarray(np.stack(cases), jnp.float32)
+    bb, ok = hull_canvas_aabb(pts, W, H)
+    bb, ok = np.asarray(bb), np.asarray(ok)
+
+    for gi, P in enumerate(cases):
+        hull = P[ConvexHull(P).vertices]
+        clipped = clip_rect(hull, W, H)
+        if not clipped:
+            assert not ok[gi], gi
+            continue
+        arr = np.stack(clipped)
+        ex = [arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max()]
+        assert ok[gi], gi
+        np.testing.assert_allclose(bb[gi], ex, atol=1e-2, err_msg=str(gi))
+
+    # quantify the clamped-AABB over-coverage the exact clip removes
+    P = cases[-1]
+    cx1, cy1 = np.clip(P.min(0), [0, 0], [W, H])
+    cx2, cy2 = np.clip(P.max(0), [0, 0], [W, H])
+    clamped_area = (cx2 - cx1) * (cy2 - cy1)
+    exact_area = (bb[-1, 2] - bb[-1, 0]) * (bb[-1, 3] - bb[-1, 1])
+    assert exact_area < 0.75 * clamped_area, (exact_area, clamped_area)

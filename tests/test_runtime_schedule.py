@@ -15,8 +15,12 @@ def test_schedule_values():
         threshold_buffer_end_step=200, disable_aug_step=500,
     )
     assert not rs.enable_detection(50) and rs.enable_detection(100)
-    assert rs.threshold_buffer(0) == 0.4
-    assert abs(rs.threshold_buffer(100) - 0.2) < 1e-9
+    # buffer is active only once detection enables, full at the enable step,
+    # decaying to 0 over [enable, end] (fsd_hooks.py:86-89)
+    assert rs.threshold_buffer(0) == 0.0
+    assert rs.threshold_buffer(99) == 0.0
+    assert rs.threshold_buffer(100) == 0.4
+    assert abs(rs.threshold_buffer(150) - 0.2) < 1e-9
     assert rs.threshold_buffer(200) == 0.0
     assert rs.augmentation_enabled(499) and not rs.augmentation_enabled(500)
 

@@ -50,6 +50,150 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0], losses
 
 
+def test_sharded_losses_match_single_device():
+    """DDP-equivalence (VERDICT r1 #5): the shard_map DP step with pmean'd
+    avg factors (layers.mesh_mean) must reproduce a single-device run on the
+    concatenated global batch — loss and gradients, not just finiteness.
+    Reference semantics: sparse_cluster_head.py:140-161 reduce_mean +
+    DDP gradient averaging."""
+    from jax import shard_map
+    from fullysparsefusion_tpu.parallel.train import total_loss, fsd_forward_fn
+    from fullysparsefusion_tpu.models import layers as L
+
+    import dataclasses
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), ("dp",))
+    cfg = tiny_fsd_config()
+    # capacities are PER GLOBAL BATCH: the single-device run sees all 8
+    # scenes in one forward, so its caps must scale ×8 to avoid truncation
+    # that the per-shard runs don't experience (params are caps-independent).
+    caps8 = dataclasses.replace(
+        cfg.caps,
+        points=cfg.caps.points * 8, voxels=cfg.caps.voxels * 8,
+        prevox=cfg.caps.prevox * 8, fg_per_group=cfg.caps.fg_per_group * 8,
+        cluster_voxels_per_group=cfg.caps.cluster_voxels_per_group * 8,
+        clusters=cfg.caps.clusters * 8,
+        frustum_points=cfg.caps.frustum_points * 8,
+        frustum_objects=cfg.caps.frustum_objects * 8,
+        roi_points=cfg.caps.roi_points * 8,
+    )
+    cfg8 = dataclasses.replace(cfg, caps=caps8)
+    pbs, gts = [], []
+    for d in range(8):
+        pb_d, gt_d = make_scene(
+            seed=100 + d, batch_size=1, boxes_per_sample=2, bg_points=120,
+            n_cap=cfg.caps.points // 4, max_gt=cfg.caps.max_gt,
+        )
+        pbs.append(pb_d)
+        gts.append(gt_d)
+    # sharded layout: batch_idx 0 within every shard
+    pb_sh = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *pbs)
+    gt_sh = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *gts)
+    # single-device layout: one global batch with batch_idx 0..7
+    from fullysparsefusion_tpu.utils.containers import PointBatch
+    pb_1 = PointBatch(
+        points=pb_sh.points,
+        batch_idx=jnp.concatenate(
+            [p.batch_idx + d for d, p in enumerate(pbs)]
+        ),
+        valid=pb_sh.valid,
+    )
+
+    model, vars_ = _init(cfg, pbs[0], gts[0])
+    model8 = SingleStageFSD(cfg=cfg8)  # same params, scaled data-path caps
+    params, stats = vars_["params"], vars_["batch_stats"]
+    fwd_local = fsd_forward_fn(model, 1)
+    fwd_global = fsd_forward_fn(model8, 8)
+
+    def single_loss(p):
+        losses, _ = fwd_global(p, stats, pb_1, gt_sh)
+        return total_loss(losses), losses
+
+    (loss_1, losses_1), grads_1 = jax.value_and_grad(single_loss, has_aux=True)(params)
+
+    def local_loss_grad(p, pb, gt):
+        def lf(p):
+            with L.bn_axis("dp"):
+                losses, _ = fwd_local(p, stats, pb, gt)
+            return total_loss(losses), losses
+
+        (loss, losses), grads = jax.value_and_grad(lf, has_aux=True)(p)
+        return (
+            jax.lax.pmean(loss, "dp"),
+            jax.lax.pmean(losses, "dp"),
+            jax.lax.pmean(grads, "dp"),
+        )
+
+    smapped = jax.jit(shard_map(
+        local_loss_grad, mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp")), out_specs=(P(), P(), P()),
+    ))
+    sharding = NamedSharding(mesh, P("dp"))
+    pb_put = jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), pb_sh)
+    gt_put = jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), gt_sh)
+    loss_8, losses_8, grads_8 = smapped(params, pb_put, gt_put)
+
+    np.testing.assert_allclose(float(loss_8), float(loss_1), rtol=2e-3)
+    for k in losses_1:
+        # diagnostics like num_pos are per-shard means under DP (the
+        # reference's reduce_mean avg factor), i.e. global/8
+        mult = 1.0 if "loss" in k else 8.0
+        np.testing.assert_allclose(
+            float(losses_8[k]) * mult, float(losses_1[k]), rtol=5e-3, atol=1e-5,
+            err_msg=k,
+        )
+    flat_1 = jax.tree_util.tree_leaves_with_path(grads_1)
+    flat_8 = dict(jax.tree_util.tree_leaves_with_path(grads_8))
+    checked = 0
+    for path, g1 in flat_1:
+        g8 = flat_8[path]
+        n1 = float(jnp.linalg.norm(g1))
+        n8 = float(jnp.linalg.norm(g8))
+        np.testing.assert_allclose(n8, n1, rtol=1e-2, atol=1e-6, err_msg=str(path))
+        checked += 1
+    assert checked > 20
+
+
+def test_fsf_all_branches_receive_gradient():
+    """ADVICE r1 (high): total_loss must include the prefixed FSF keys
+    (frustum_loss_*, fsd_loss_*, stage{i}_loss_*) — otherwise only the
+    segmentor trains. Assert nonzero grads on every major FSF submodule."""
+    from fullysparsefusion_tpu.config import tiny_fsf_config
+    from fullysparsefusion_tpu.models.fsf import FSF
+    from fullysparsefusion_tpu.parallel.train import total_loss, fsf_forward_fn
+    from fixtures import make_camera_data, with_noaug_channels
+
+    cfg = tiny_fsf_config()
+    pb, gt = make_scene(seed=3, n_cap=cfg.fsd.caps.points, max_gt=cfg.fsd.caps.max_gt)
+    cam = make_camera_data(pb, gt, num_cams=cfg.num_cams, num_classes=cfg.num_classes)
+    pb = with_noaug_channels(pb)
+    model = FSF(cfg=cfg)
+    vars_ = model.init(
+        jax.random.key(0), pb, cam, 2, gt, gt, False,
+        method=lambda m, *a, **k: m(*a, **k),
+    )
+    fwd = fsf_forward_fn(model, 2)
+
+    def loss_fn(p):
+        losses, _ = fwd(p, vars_["batch_stats"], pb, cam, gt, gt)
+        return total_loss(losses)
+
+    grads = jax.grad(loss_fn)(vars_["params"])
+    must_train = [
+        "frustum_head", "fsd_branch", "combine_frustum_mlp", "combine_fsd_mlp",
+        "refine_sir_0", "refined_head_0", "out_proj_0", "position_encoder_0",
+        "lidar_img_mlp_0", "refine_img_mlp_0", "frustum", "seg_enhance_mlp",
+    ]
+    for name in must_train:
+        sub = grads.get(name)
+        assert sub is not None, f"missing param group {name}: {list(grads)}"
+        norm = float(
+            jnp.sqrt(sum(jnp.sum(g ** 2) for g in jax.tree_util.tree_leaves(sub)))
+        )
+        assert norm > 0.0, f"zero gradient reaching {name}"
+
+
 def test_sharded_train_step_runs_on_mesh():
     devs = jax.devices()
     assert len(devs) == 8, "conftest must force 8 CPU devices"

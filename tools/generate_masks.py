@@ -92,17 +92,58 @@ def backend_random(rng, num_cams, num_classes, img_hw, n=10):
     return out
 
 
-def backend_torch_maskrcnn(images, score_thr=0.3, class_map=None):
+# torchvision Mask R-CNN is COCO-trained; map COCO categories onto the
+# nuScenes detection classes (reference HTC is nuImages-trained so needs no
+# map — save_mask_nusc.py:160-218). Standard nuScenes class order.
+NUSC_CLASSES = (
+    "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
+    "motorcycle", "bicycle", "pedestrian", "traffic_cone",
+)
+COCO_TO_NUSC = {1: 8, 2: 7, 3: 0, 4: 6, 6: 3, 8: 1}
+# nuScenes camera order used when infos carry a 'cams' dict; matches the
+# row order of the lidar2img stack built by tools/prepare scripts.
+NUSC_CAM_ORDER = (
+    "CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT",
+    "CAM_BACK", "CAM_BACK_LEFT", "CAM_BACK_RIGHT",
+)
+
+
+def load_sample_images(info, data_root):
+    """[H,W,3] uint8 per camera from an mmdet3d-schema info record."""
+    from PIL import Image
+
+    cams = info.get("cams", {})
+    names = [c for c in NUSC_CAM_ORDER if c in cams] or sorted(cams)
+    images = []
+    for c in names:
+        path = cams[c]["data_path"]
+        if not os.path.isabs(path):
+            path = os.path.join(data_root, path)
+        images.append(np.asarray(Image.open(path).convert("RGB")))
+    return images
+
+
+_MASKRCNN = None
+
+
+def backend_torch_maskrcnn(images, score_thr=0.3, class_map=None, weights="DEFAULT"):
     """images: list of [H, W, 3] uint8 per camera."""
     import torch
     import torchvision
 
-    model = torchvision.models.detection.maskrcnn_resnet50_fpn(weights="DEFAULT")
-    model.eval()
+    global _MASKRCNN
+    if _MASKRCNN is None:
+        _MASKRCNN = torchvision.models.detection.maskrcnn_resnet50_fpn(
+            weights=None if weights in ("none", None) else weights
+        )
+        _MASKRCNN.eval()
+    model = _MASKRCNN
+    if class_map is None:
+        class_map = COCO_TO_NUSC
     out = []
     with torch.no_grad():
         for cam_id, img in enumerate(images):
-            t = torch.from_numpy(img).permute(2, 0, 1).float() / 255.0
+            t = torch.from_numpy(np.ascontiguousarray(img)).permute(2, 0, 1).float() / 255.0
             pred = model([t])[0]
             for j in range(len(pred["scores"])):
                 s = float(pred["scores"][j])
@@ -127,21 +168,58 @@ def main():
     ap.add_argument("--backend", default="random",
                     choices=["random", "torch-maskrcnn", "precomputed"])
     ap.add_argument("--out-dir", required=True)
-    ap.add_argument("--tokens", nargs="+", default=["sample0"])
+    ap.add_argument("--tokens", nargs="+", default=None,
+                    help="sample tokens (random/precomputed backends; "
+                         "defaults to every info-pkl sample, else 'sample0')")
+    ap.add_argument("--info-pkl", help="mmdet3d info pickle with per-sample "
+                    "'cams' image paths (torch-maskrcnn backend)")
+    ap.add_argument("--data-root", default="")
     ap.add_argument("--num-cams", type=int, default=6)
     ap.add_argument("--num-classes", type=int, default=10)
     ap.add_argument("--img-h", type=int, default=900)
     ap.add_argument("--img-w", type=int, default=1600)
+    ap.add_argument("--score-thr", type=float, default=0.3)
+    ap.add_argument("--weights", default="DEFAULT",
+                    help="torchvision weights spec, or 'none' for random init "
+                         "(pipeline smoke tests in weightless environments)")
+    ap.add_argument("--max-samples", type=int, default=0)
     ap.add_argument("--precomputed-json", help="for --backend precomputed")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    for token in args.tokens:
+    infos = None
+    if args.info_pkl:
+        import pickle
+
+        with open(args.info_pkl, "rb") as f:
+            data = pickle.load(f)
+        infos = data["infos"] if isinstance(data, dict) else data
+        if args.max_samples:
+            infos = infos[: args.max_samples]
+
+    if args.backend == "torch-maskrcnn":
+        assert infos is not None, "--info-pkl required for torch-maskrcnn"
+        for info in infos:
+            token = info.get("token", "")
+            images = load_sample_images(info, args.data_root)
+            h, w = images[0].shape[:2]
+            dets = backend_torch_maskrcnn(
+                images, score_thr=args.score_thr, weights=args.weights
+            )
+            masks, annos = paint_sample(dets, len(images), args.num_classes, (h, w))
+            save_sample(args.out_dir, token, masks, annos)
+            print(f"{token}: {len(annos)} instances, {len(masks)} mask planes")
+        return
+
+    tokens = args.tokens
+    if tokens is None:
+        tokens = [i.get("token", "") for i in infos] if infos else ["sample0"]
+    for token in tokens:
         if args.backend == "random":
             dets = backend_random(
                 rng, args.num_cams, args.num_classes, (args.img_h, args.img_w)
             )
-        elif args.backend == "precomputed":
+        else:  # precomputed
             with open(args.precomputed_json) as f:
                 raw = json.load(f)[token]
             dets = []
@@ -150,8 +228,6 @@ def main():
                 x1, y1, x2, y2 = [int(v) for v in d["bbox"]]
                 m[y1:y2, x1:x2] = True  # bbox-mask fallback when no RLE
                 dets.append(dict(d, mask=m))
-        else:
-            raise SystemExit("torch-maskrcnn backend needs --images plumbing per dataset")
         masks, annos = paint_sample(
             dets, args.num_cams, args.num_classes, (args.img_h, args.img_w)
         )

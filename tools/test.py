@@ -37,6 +37,15 @@ def parse_args():
     p.add_argument("--mask-downsample", type=int, default=2)
     p.add_argument("--img-h", type=int, default=900)
     p.add_argument("--img-w", type=int, default=1600)
+    # test-time augmentation (MyMultiScaleFlipAug3D)
+    p.add_argument("--tta", action="store_true",
+                   help="flip/rotate/scale TTA fused with rotated NMS")
+    p.add_argument("--tta-rotations", default="0",
+                   help="comma-separated yaw rotations in radians")
+    p.add_argument("--tta-scales", default="1.0")
+    p.add_argument("--tta-no-flip", action="store_true")
+    # multi-host gather (reference tools/test.py gpu_collect / tmpdir)
+    p.add_argument("--tmpdir", help="shard-file collect dir for multi-host eval")
     p.add_argument("--cpu", action="store_true", help="force host CPU backend")
     return p.parse_args()
 
@@ -153,11 +162,7 @@ def main():
     else:
         fwd = jax.jit(lambda v, pb: model.apply(v, pb, 1, None, False))
 
-    records, all_results = [], []
-    n_total = min(len(reader), args.max_samples) if args.max_samples else len(reader)
-    t0 = time.time()
-    for i in range(n_total):
-        s, pb, cam = build_batch(i)
+    def infer_once(pb, cam):
         if use_fsf:
             out = fwd(vars_, pb, cam)
             res = model.apply(vars_, out, 1, method=type(model).get_bboxes)
@@ -165,9 +170,69 @@ def main():
             out = fwd(vars_, pb)
             res = model.apply(vars_, out, 1, method=SingleStageFSD.get_bboxes)
         v = np.asarray(res.valid[0])
-        boxes = np.asarray(res.boxes[0])[v]
-        scores = np.asarray(res.scores[0])[v]
-        labels = np.asarray(res.labels[0])[v]
+        return (np.asarray(res.boxes[0])[v], np.asarray(res.scores[0])[v],
+                np.asarray(res.labels[0])[v])
+
+    tta_variants = None
+    if args.tta:
+        from fullysparsefusion_tpu.data.tta import tta_grid, run_tta
+        from fullysparsefusion_tpu.ops.nms import multiclass_nms_bev
+
+        tta_variants = tta_grid(
+            scales=[float(x) for x in args.tta_scales.split(",")],
+            rotations=[float(x) for x in args.tta_rotations.split(",")],
+            flip_horizontal=not args.tta_no_flip,
+            flip_vertical=not args.tta_no_flip,
+        )
+        print(f"TTA over {len(tta_variants)} variants")
+
+    def infer_sample(s, pb, cam):
+        if tta_variants is None:
+            return infer_once(pb, cam)
+        # re-collate per variant: TTA transforms the live channels only (the
+        # saved no-aug tail keeps camera projection valid — SaveNoAugPoints)
+        raw = s["points"]
+        live, tail = raw[:, :-3], raw[:, -3:]
+
+        def one(aug_live):
+            pts = np.concatenate([aug_live, tail], 1)
+            batch = collate_scene(
+                [dict(s, points=pts)], cfg.caps.points, cfg.caps.max_gt
+            )
+            pb_v = PointBatch(
+                points=jnp.asarray(batch["points"]),
+                batch_idx=jnp.asarray(batch["batch_idx"]),
+                valid=jnp.asarray(batch["valid"]),
+            )
+            return infer_once(pb_v, cam)
+
+        boxes, scores, labels = run_tta(live, tta_variants, one)
+        if not len(boxes):
+            return boxes, scores, labels
+        # fuse the union with per-class rotated NMS on device
+        nc = len(cfg.class_names)
+        smat = np.zeros((len(boxes), nc), np.float32)
+        smat[np.arange(len(boxes)), labels] = scores
+        res = multiclass_nms_bev(
+            jnp.asarray(boxes), jnp.asarray(smat),
+            jnp.ones(len(boxes), bool), cfg.head.nms_thr, cfg.head.score_thr,
+            cfg.head.max_num,
+        )
+        v = np.asarray(res.valid)
+        return (np.asarray(res.boxes)[v], np.asarray(res.scores)[v],
+                np.asarray(res.labels)[v])
+
+    records, all_results = [], []
+    n_total = min(len(reader), args.max_samples) if args.max_samples else len(reader)
+    # multi-host: each process owns idx % world (reference multi_gpu_test)
+    from fullysparsefusion_tpu.parallel.eval import (
+        shard_indices, write_shard_results, merge_shard_results,
+    )
+    own = shard_indices(n_total)
+    t0 = time.time()
+    for i in own.tolist():
+        s, pb, cam = build_batch(i)
+        boxes, scores, labels = infer_sample(s, pb, cam)
         all_results.append(
             dict(token=s["token"], boxes=boxes.tolist(), scores=scores.tolist(),
                  labels=labels.tolist())
@@ -179,11 +244,18 @@ def main():
                     gt_boxes=s["gt_boxes"], gt_labels=s["gt_labels"],
                 )
             )
-    dt = (time.time() - t0) / max(n_total, 1)
+    dt = (time.time() - t0) / max(len(own), 1)
+    if args.tmpdir:
+        write_shard_results(all_results, args.tmpdir)
+        if jax.process_index() == 0:
+            all_results = merge_shard_results(args.tmpdir)
+        else:
+            return
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(all_results, f)
-    print(json.dumps({"samples": n_total, "sec_per_sample": round(dt, 3), "out": args.out}))
+    print(json.dumps({"samples": len(all_results), "sec_per_sample": round(dt, 3),
+                      "out": args.out}))
     if args.eval:
         metrics = evaluate_detections(records, len(cfg.class_names), cfg.class_names)
         print(json.dumps(metrics, indent=2))

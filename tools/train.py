@@ -3,12 +3,17 @@
 TPU-native counterpart of the reference launch stack (tools/train.py +
 dist_train.sh): no torch.distributed.launch — one process drives a
 data-parallel mesh over all local devices; gradients/normalizers/BN stats
-sync through GSPMD collectives inside the jitted step.
+sync through collectives inside the jitted shard_map step. On a single
+device the same step runs un-sharded.
 
 Usage:
+  # full-fusion training (masks from tools/generate_masks.py)
   python tools/train.py --config /path/to/FSF_nuScenes_config.py \
-      --info-pkl data/nuscenes_infos_train.pkl --data-root data/nuscenes \
-      --work-dir work_dirs/fsf
+      --model fsf --info-pkl data/nuscenes_infos_train.pkl \
+      --data-root data/nuscenes --mask-dir data/masks --work-dir work_dirs/fsf
+  # LiDAR-only FSD pretrain, with GT-paste that switches off near the end
+  python tools/train.py --config ... --model fsd --gt-db data/gt_db.pkl \
+      --disable-aug-step 18000 ...
   python tools/train.py --synthetic   # smoke-train on the synthetic scene
 """
 from __future__ import annotations
@@ -38,16 +43,41 @@ def parse_args():
     p.add_argument("--tiny", action="store_true",
                    help="use the tiny test config instead of the file config (CI)")
     p.add_argument("--model", default="fsd", choices=["fsd", "fsf"],
-                   help="fsd = LiDAR-only; fsf = full fusion (synthetic masks in --synthetic mode)")
+                   help="fsd = LiDAR-only; fsf = full fusion (needs --mask-dir on real data)")
     p.add_argument("--log-interval", type=int, default=20)
     p.add_argument("--ckpt-interval", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pretrain-steps", type=int, default=0,
                    help="segmentor-only warmup: detection losses gated off")
     p.add_argument("--threshold-buffer", type=float, default=0.0,
-                   help="initial fg-threshold buffer, decays to 0 by 2x pretrain steps")
+                   help="initial fg-threshold buffer, decays over the warmup tail")
+    p.add_argument("--init-from", help="converted .pth vars pickle "
+                   "(tools/convert_checkpoint.py --out) to warm-start from")
+    # FSF camera inputs (mirror tools/test.py)
+    p.add_argument("--mask-dir", help="pre-computed 2D instance masks (FSF mode)")
+    p.add_argument("--mask-downsample", type=int, default=2)
+    p.add_argument("--img-h", type=int, default=900)
+    p.add_argument("--img-w", type=int, default=1600)
+    # GT-paste augmentation
+    p.add_argument("--gt-db", help="GT database pickle (tools/create_gt_database.py)")
+    p.add_argument("--paste-max", default="2",
+                   help="per-class paste budget: single int or 'cls:k,cls:k'")
+    p.add_argument("--disable-aug-step", type=int, default=-1,
+                   help="turn GT-paste off from this step (DisableAugmentationHook)")
+    p.add_argument("--no-shard", action="store_true",
+                   help="force the single-jit step even on multi-device hosts")
     p.add_argument("--cpu", action="store_true", help="force host CPU backend")
     return p.parse_args()
+
+
+def _parse_paste_max(spec: str, num_classes: int):
+    if ":" in spec:
+        out = {}
+        for part in spec.split(","):
+            k, v = part.split(":")
+            out[int(k)] = int(v)
+        return out
+    return {c: int(spec) for c in range(num_classes)}
 
 
 def main():
@@ -62,7 +92,8 @@ def main():
     from fullysparsefusion_tpu.config import tiny_fsd_config
     from fullysparsefusion_tpu.models.fsd import SingleStageFSD
     from fullysparsefusion_tpu.parallel import (
-        TrainState, make_optimizer, make_train_step,
+        TrainState, make_optimizer, make_train_step, make_generic_train_step,
+        make_sharded_train_step, make_fsf_sharded_train_step, fsf_forward_fn,
     )
     from fullysparsefusion_tpu.train import (
         save_checkpoint, load_checkpoint, latest_checkpoint, RuntimeSchedule,
@@ -72,6 +103,7 @@ def main():
     os.makedirs(args.work_dir, exist_ok=True)
 
     use_fsf = args.model == "fsf"
+    reader = None
     if args.synthetic:
         from fixtures import make_scene, make_camera_data, with_noaug_channels
 
@@ -117,18 +149,40 @@ def main():
         else:
             fsf_cfg = load_fsf_config(args.config)
         cfg = fsf_cfg.fsd
-        model = SingleStageFSD(cfg=cfg)  # LiDAR branch; FSF train lands with mask data
+        if use_fsf:
+            from fullysparsefusion_tpu.models.fsf import FSF
+            from fullysparsefusion_tpu.models.camera import CameraData
+            from fullysparsefusion_tpu.data.masks import load_sample_masks
+
+            assert args.mask_dir, "--mask-dir required for --model fsf"
+            model = FSF(cfg=fsf_cfg)
+        else:
+            model = SingleStageFSD(cfg=cfg)
         batch_size = args.batch_size or jax.device_count()
+        sampler = None
+        if args.gt_db:
+            from fullysparsefusion_tpu.data.gt_sampling import GTPasteSampler
+
+            sampler = GTPasteSampler(
+                db_path=args.gt_db,
+                max_per_class=_parse_paste_max(args.paste_max, len(cfg.class_names)),
+                seed=args.seed,
+            )
         reader = NuScenesReader(
             info_path=args.info_pkl, data_root=args.data_root,
             class_names=cfg.class_names, seed=args.seed,
+            gt_sampler=sampler,
+            mask_dir=args.mask_dir, mask_hw=(args.img_h, args.img_w),
+            mask_downsample=args.mask_downsample,
+            num_mask_classes=len(cfg.class_names),
         )
-        steps_per_epoch = len(reader) // batch_size
+        steps_per_epoch = max(len(reader) // batch_size, 1)
         total_steps = args.max_steps or steps_per_epoch * args.epochs
+        ds = args.mask_downsample
 
         def batch_iter():
             while True:
-                for batch, _ in reader.batches(
+                for batch, samples in reader.batches(
                     batch_size, cfg.caps.points, cfg.caps.max_gt
                 ):
                     pb = PointBatch(
@@ -141,7 +195,33 @@ def main():
                         labels=jnp.asarray(batch["gt_labels"]),
                         valid=jnp.asarray(batch["gt_valid"]),
                     )
-                    yield pb, gt
+                    if not use_fsf:
+                        yield pb, gt
+                        continue
+                    no_aug = GroundTruth(
+                        boxes=jnp.asarray(batch.get("no_aug_gt_boxes", batch["gt_boxes"])),
+                        labels=jnp.asarray(batch["gt_labels"]),
+                        valid=jnp.asarray(batch["gt_valid"]),
+                    )
+                    masks_l, annos_l, l2i_l = [], [], []
+                    for s in samples:
+                        assert s["lidar2img"] is not None, "info pkl lacks lidar2img"
+                        l2i = np.asarray(s["lidar2img"], np.float32).copy()
+                        m, a = load_sample_masks(
+                            args.mask_dir, s["token"], l2i.shape[0],
+                            len(cfg.class_names), (args.img_h, args.img_w),
+                            downsample=ds,
+                        )
+                        l2i[:, :2] /= ds
+                        masks_l.append(m)
+                        annos_l.append(a)
+                        l2i_l.append(l2i)
+                    cam = CameraData(
+                        masks=jnp.asarray(np.stack(masks_l)),
+                        anno=jnp.asarray(np.stack(annos_l)),
+                        lidar2img=jnp.asarray(np.stack(l2i_l)),
+                    )
+                    yield pb, cam, gt, no_aug
 
     it = batch_iter()
     batch0 = next(it)
@@ -161,9 +241,19 @@ def main():
             )
         )(jax.random.key(args.seed))
 
+    if args.init_from:
+        # warm-start from converted reference weights (load_from semantics,
+        # FSF_nuScenes_config.py:429)
+        import pickle
+
+        with open(args.init_from, "rb") as f:
+            loaded = pickle.load(f)
+        vars_ = jax.tree_util.tree_map(jnp.asarray, loaded)
+        print(f"initialized from {args.init_from}")
+
     tx = make_optimizer(
         base_lr=args.lr, total_steps=total_steps,
-        lr_mult_rules={"segmentor.SegmentorCore_0": 0.2},
+        lr_mult_rules={"segmentor.SegmentorCore_0": 0.2, "seg_core": 0.2},
     )
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=vars_["params"],
@@ -175,30 +265,50 @@ def main():
             state = load_checkpoint(path, state)
             print(f"resumed from {path} at step {int(state.step)}")
 
-    if use_fsf:
-        from fullysparsefusion_tpu.parallel import (
-            make_generic_train_step, fsf_forward_fn,
-        )
+    # data-parallel shard_map step whenever >1 device is visible (the
+    # reference's DDP surface, dist_train.sh); single-jit otherwise
+    n_dev = jax.device_count()
+    shard = (not args.no_shard) and n_dev > 1 and batch_size % n_dev == 0
+    if shard:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-        step_fn = make_generic_train_step(fsf_forward_fn(model, batch_size), tx)
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        data_sharding = NamedSharding(mesh, P("dp"))
+        per_dev = batch_size // n_dev
+        if use_fsf:
+            step_fn = make_fsf_sharded_train_step(model, tx, mesh, per_dev)
+        else:
+            step_fn = make_sharded_train_step(model, tx, mesh, per_dev)
+
+        def put(batch):
+            return tuple(
+                jax.tree_util.tree_map(lambda x: jax.device_put(x, data_sharding), t)
+                for t in batch
+            )
+        print(f"data-parallel over {n_dev} devices ({per_dev}/device)")
     else:
-        step_fn = make_train_step(model, tx, batch_size)
+        if use_fsf:
+            step_fn = make_generic_train_step(fsf_forward_fn(model, batch_size), tx)
+        else:
+            step_fn = make_train_step(model, tx, batch_size)
+        put = lambda batch: batch
+
     schedule = RuntimeSchedule(
         enable_detection_step=args.pretrain_steps,
         threshold_buffer_start=args.threshold_buffer,
         threshold_buffer_end_step=2 * args.pretrain_steps,
+        disable_aug_step=args.disable_aug_step,
     )
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
     t0 = time.time()
     start = int(state.step)
     for i in range(start, total_steps):
-        batch = next(it)
-        if not use_fsf:
-            buf = jnp.float32(schedule.threshold_buffer(i))
-            detw = jnp.float32(1.0 if schedule.enable_detection(i) else 0.0)
-            state, loss, losses = step_fn(state, *batch, buf, detw)
-        else:
-            state, loss, losses = step_fn(state, *batch)
+        if reader is not None:
+            reader.paste_enabled = schedule.augmentation_enabled(i)
+        batch = put(next(it))
+        buf = jnp.float32(schedule.threshold_buffer(i))
+        detw = jnp.float32(1.0 if schedule.enable_detection(i) else 0.0)
+        state, loss, losses = step_fn(state, *batch, buf, detw)
         if (i + 1) % args.log_interval == 0:
             loss_v = float(loss)
             dt = (time.time() - t0) / args.log_interval
@@ -206,6 +316,7 @@ def main():
             rec = {
                 "step": i + 1, "loss": round(loss_v, 4),
                 "sec_per_step": round(dt, 3),
+                "paste": bool(schedule.augmentation_enabled(i)),
                 **{k: round(float(v), 4) for k, v in losses.items()},
             }
             print(json.dumps(rec))
