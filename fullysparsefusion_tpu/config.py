@@ -114,6 +114,15 @@ class HeadConfig:
     loss_size_weight: float = 0.5
     loss_rot_weight: float = 0.2
     loss_vel_weight: float = 0.2
+    # optional corner loss (sparse_cluster_head.py:207-247; off in shipped cfgs)
+    with_corner_loss: bool = False
+    corner_delta: float = 1.0
+    corner_loss_weight: float = 1.0
+    # optional IoU-prediction branch (sparse_cluster_head.py:197-203,339-361)
+    with_iou: bool = False
+    iou_fg_thresh: float = 0.75
+    iou_bg_thresh: float = 0.25
+    loss_iou_weight: float = 1.0
     # test cfg
     nms_thr: float = 0.25
     score_thr: float = 0.05

@@ -96,7 +96,9 @@ class GTPasteSampler:
         has_noaug = point_dim >= 8  # xyz + feats + saved noaug xyz
 
         new_pts, new_boxes, new_labels = [], [], []
-        occupied = gt_boxes.copy() if len(gt_boxes) else np.zeros((0, 7), np.float32)
+        occupied = (
+            gt_boxes[:, :7].copy() if len(gt_boxes) else np.zeros((0, 7), np.float32)
+        )
         for cls, k in self.max_per_class.items():
             pool = self.db.get(cls, [])
             if not pool:

@@ -5,9 +5,11 @@ offline HTC pre-inference (tools/mask_tools/save_mask_nusc.py) writes, per
 sample token, one PNG per (camera, class) whose pixels hold instance ids
 (anno row + 1, 0 = background) plus an ``anno.json`` with rows
 [bbox(4), score, category, cam_id, obj_id]. We load them into the fixed
-[cams, classes, H, W] tensor + [A, 9] anno table (reorg_anno_multi_cls,
-loading.py:301-339: rows sorted by obj_id, padded to a fixed count with a
-validity flag).
+CHANNEL-LAST ``[cams, H, W, classes]`` uint8 tensor (one pixel's class
+planes contiguous — the on-device lookup row-gathers all classes at once,
+7× faster than scalar gathers; ops/projection.py) + the [A, 9] anno table
+(reorg_anno_multi_cls, loading.py:301-339: rows sorted by obj_id, padded to
+a fixed count with a validity flag).
 """
 from __future__ import annotations
 
@@ -63,7 +65,7 @@ def load_sample_masks(
     max_anno: int = 250,
     downsample: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(masks [cams, classes, H/d, W/d] int32, anno [A, 9]).
+    """(masks [cams, H/d, W/d, classes] uint8 channel-last, anno [A, 9]).
 
     Missing files mean "no instances of that (cam, class)". ``downsample``
     strides the mask grid (nearest) to trade mask precision for HBM — the
@@ -71,7 +73,7 @@ def load_sample_masks(
     """
     h, w = img_hw
     hs, ws = h // downsample, w // downsample
-    masks = np.zeros((num_cams, num_classes, hs, ws), np.int32)
+    masks = np.zeros((num_cams, hs, ws, num_classes), np.uint8)
     sdir = os.path.join(mask_dir, token)
     anno_path = os.path.join(sdir, "anno.json")
     if not os.path.isfile(anno_path):
@@ -84,7 +86,7 @@ def load_sample_masks(
             p = os.path.join(sdir, f"{cam}_{cls}.png")
             if os.path.isfile(p):
                 img = _read_png(p)
-                masks[cam, cls] = img[::downsample, ::downsample].astype(np.int32)
+                masks[cam, :, :, cls] = img[::downsample, ::downsample].astype(np.uint8)
     if downsample > 1:
         anno = anno.copy()
         anno[:, :4] /= downsample
@@ -109,7 +111,7 @@ def load_sample_masks_single_channel(
     """
     h, w = img_hw
     hs, ws = h // downsample, w // downsample
-    masks = np.zeros((num_cams, num_classes, hs, ws), np.int32)
+    masks = np.zeros((num_cams, hs, ws, num_classes), np.uint8)
     sdir = os.path.join(mask_dir, token)
     anno_path = os.path.join(sdir, "anno.json")
     if not os.path.isfile(anno_path):
@@ -136,7 +138,7 @@ def load_sample_masks_single_channel(
                 continue
             cls = int(cat_of[oid - 1])
             if 0 <= cls < num_classes:
-                masks[cam, cls][img == oid] = oid
+                masks[cam, :, :, cls][img == oid] = oid
     if downsample > 1:
         anno = anno.copy()
         anno[:, :4] /= downsample
@@ -191,12 +193,12 @@ def load_sample_masks_waymo(
     class PNGs ``{cam}_{name}.png``; the two back cameras have a different
     native resolution and are nearest-resized onto the common grid with the
     matching lidar2img row scaling (resize_img_waymo, loading.py:98-139).
-    Returns (masks [cams, cls, H/d, W/d], anno [A, 9], lidar2img).
+    Returns (masks [cams, H/d, W/d, cls] uint8, anno [A, 9], lidar2img).
     """
     h, w = img_hw
     hs, ws = h // downsample, w // downsample
     nc = len(class_names)
-    masks = np.zeros((num_cams, nc, hs, ws), np.int32)
+    masks = np.zeros((num_cams, hs, ws, nc), np.uint8)
     l2i = np.asarray(lidar2img, np.float32).copy()
     sdir = os.path.join(mask_dir, str(sample_idx))
     anno_path = os.path.join(sdir, "anno.json")
@@ -231,7 +233,7 @@ def load_sample_masks_waymo(
                     anno[sel, 1] *= h / img.shape[0]
                     anno[sel, 3] *= h / img.shape[0]
                 img = _nearest_resize(img, (h, w))
-            masks[cam, ci] = img[::downsample, ::downsample]
+            masks[cam, :, :, ci] = img[::downsample, ::downsample]
     if downsample > 1:
         anno = anno.copy()
         anno[:, :4] /= downsample

@@ -37,7 +37,9 @@ from .sir import SIR
 class CameraData:
     """Pre-computed 2D instance data (reference LoadMaskFromFiles output).
 
-    masks: [B, cams, cls, H, W] int — pixel = anno row + 1, 0 = bg.
+    masks: [B, cams, H, W, cls] uint8, CHANNEL-LAST — pixel = anno row + 1,
+           0 = bg (class planes contiguous per pixel: the per-point lookup
+           row-gathers all classes at once, ops/projection.py).
     anno:  [B, A, 9] — [x1,y1,x2,y2, score, category, cam_id, obj_id, valid]
            sorted by obj_id (loading.py:301-339 reorg_anno_multi_cls).
     lidar2img: [B, cams, 4, 4].
@@ -219,7 +221,7 @@ class FrustumBranch(nn.Module):
         )(pts, feats, f_cluster, seg, f_valid, train)
 
         preds_2d = object_preds_2d(cam, obj_batch, obj_row, self.num_classes)
-        img_h, img_w = cam.masks.shape[-2:]
+        img_h, img_w = cam.masks.shape[2:4]
         enc = encode_preds_2d(preds_2d, img_w, img_h, self.num_classes)
         img_feat = MLP(tuple(self.encode_2d_dims), norm="ln", act="gelu")(
             enc, seg.seg_valid, train

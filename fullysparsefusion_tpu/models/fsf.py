@@ -38,7 +38,7 @@ from .camera import (
 )
 from .fsd import FSDQueryBranch
 from .heads import SparseClusterHead, cluster_head_loss, cluster_head_get_bboxes
-from .roi import extract_roi_points, FullySparseBboxHead
+from .roi import extract_roi_points_grid, FullySparseBboxHead
 
 
 class ZeroInitMLP(nn.Module):
@@ -139,7 +139,10 @@ class FSF(nn.Module):
         train: bool = False,
         thresh_buffer=0.0,
         detection_weight=1.0,
+        run_until: Optional[str] = None,
     ) -> Dict:
+        """``run_until`` (static) early-returns after a phase — 'seg',
+        'frustum', 'fsd', 'fusion' — for stage-level profiling."""
         c = self.cfg
         f = c.fsd
         # last 3 channels = no-aug xyz (split_points_last_3dim, FSF.py:554-560)
@@ -154,6 +157,8 @@ class FSF(nn.Module):
         seg_feats = seg_feats + self.seg_enhance_mlp(cls_scores_2d, pt_valid, train)
         seg_feats = seg_feats * pt_valid[:, None].astype(seg_feats.dtype)
         seg_out = self.seg_head(seg_feats, pt_valid, train)
+        if run_until == "seg":
+            return dict(seg_out=seg_out)
 
         # ② camera queries
         fr = self.frustum(
@@ -161,9 +166,13 @@ class FSF(nn.Module):
             pb.batch_idx, cam, train,
         )
         fr_out = self.frustum_head(fr["obj_feat"], fr["obj_valid"], train)
+        if run_until == "frustum":
+            return dict(seg_out=seg_out, frustum=fr_out)
 
         # ③ LiDAR queries
         fsd = self.fsd_branch(pb_inner, seg_out, batch_size, train, thresh_buffer)
+        if run_until == "fsd":
+            return dict(seg_out=seg_out, frustum=fr_out, fsd=fsd)
 
         # ④ fusion
         centers = jnp.concatenate([fr["obj_centers"], fsd["cluster_xyz"]])
@@ -184,6 +193,8 @@ class FSF(nn.Module):
             fsd=fsd,
             stages=[],
         )
+        if run_until == "fusion":
+            return result
 
         # ⑤ cascade refinement
         stage_outputs = []
@@ -191,10 +202,13 @@ class FSF(nn.Module):
             boxes = self.coder.decode(reg_preds, centers)
             boxes = jax.lax.stop_gradient(boxes)
             new_centers = boxes[:, :3]
-            rp = extract_roi_points(
+            pcr = f.segmentor.point_cloud_range
+            rp = extract_roi_points_grid(
                 points[:, :3], pb.batch_idx, pt_valid,
                 boxes[:, :7], q_batch, q_valid,
                 c.extra_wlh, f.caps.roi_points, c.rois_per_point,
+                batch_size=batch_size,
+                bev_lo=(pcr[0], pcr[1]), bev_hi=(pcr[3], pcr[4]),
             )
             sel_pts = points[rp.point_idx]
             sel_feats = seg_feats[rp.point_idx]
@@ -241,7 +255,7 @@ class FSF(nn.Module):
         f = c.fsd
         if no_aug_gt is None:
             no_aug_gt = gt
-        img_h, img_w = cam.masks.shape[-2:]
+        img_h, img_w = cam.masks.shape[2:4]
         seg_out = result["seg_out"]
         losses = segmentor_loss(
             seg_out, *segmentor_targets(pb_inner, gt, f.num_classes), f.segmentor

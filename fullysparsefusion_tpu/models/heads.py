@@ -29,7 +29,7 @@ from flax import linen as nn
 from ..config import HeadConfig, Capacities
 from ..core.coders import BasePointBBoxCoder
 from ..core import losses as L
-from ..ops.geometry import points_box_assignment_batched
+from ..ops.geometry import points_box_assignment_batched, corners_3d, boxes_iou_3d
 from ..ops.nms import multiclass_nms_bev, NMSResult
 from ..utils.containers import GroundTruth
 from .layers import MLP, mesh_mean
@@ -70,18 +70,27 @@ class SparseClusterHead(nn.Module):
         x = MLP(tuple(c.shared_mlp_dims), norm=c.norm, act=c.act)(
             cluster_feats, valid, train
         )
-        cls_list, reg_list = [], []
+        cls_list, reg_list, iou_list = [], [], []
         for t_names in self.tasks:
             attrs = tuple(c.common_attrs) + (
                 ("score", len(t_names), c.num_cls_layer, c.cls_hidden_dim),
             )
+            if c.with_iou:
+                # optional IoU-prediction branch (sparse_cluster_head.py:85-88,
+                # 197-203; off in the shipped configs)
+                attrs = attrs + (("iou", 1, c.num_cls_layer, c.cls_hidden_dim),)
             ret = SeparateHead(attrs=attrs, norm=c.norm, act=c.act)(x, valid, train)
             reg = jnp.concatenate(
                 [ret[k] for k in ("center", "dim", "rot", "vel") if k in ret], axis=-1
             )
             cls_list.append(ret["score"])
             reg_list.append(reg)
-        return dict(cls_logits=cls_list, reg_preds=reg_list)
+            if c.with_iou:
+                iou_list.append(ret["iou"][:, 0])
+        out = dict(cls_logits=cls_list, reg_preds=reg_list)
+        if c.with_iou:
+            out["iou_logits"] = iou_list
+        return out
 
 
 def assign_clusters_in_box(
@@ -111,6 +120,7 @@ def cluster_head_loss(
     cfg: HeadConfig,
     assign: Optional[jax.Array] = None,
     prefix: str = "",
+    iou_logits: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Single-task loss (the shipped configs run one task of all classes)."""
     coder = BasePointBBoxCoder(cfg.code_size)
@@ -154,6 +164,46 @@ def cluster_head_loss(
             jnp.abs(reg_preds[:, 8:10] - targets[:, 8:10]) * vel_flag[:, None]
         ) / jnp.maximum(num_pos, 1.0)
         losses[prefix + "loss_vel"] = loss_vel
+
+    if cfg.with_corner_loss:
+        # corner loss (sparse_cluster_head.py:207-247): huber on per-corner
+        # distance to the GT box or its yaw-flipped twin, positives only
+        dets = coder.decode(reg_preds, cluster_xyz)
+        gts_dec = coder.decode(targets, cluster_xyz)
+        pc = corners_3d(dets[:, :7])                     # [C, 8, 3]
+        gc = corners_3d(gts_dec[:, :7])
+        gcf = corners_3d(jnp.concatenate(
+            [gts_dec[:, :6], gts_dec[:, 6:7] + jnp.pi], axis=1
+        ))
+        dist = jnp.minimum(
+            jnp.linalg.norm(pc - gc, axis=2), jnp.linalg.norm(pc - gcf, axis=2)
+        )                                                # [C, 8]
+        delta = cfg.corner_delta
+        quad = jnp.clip(dist, 0.0, delta)
+        huber = 0.5 * quad**2 + delta * (dist - quad)
+        losses[prefix + "loss_corner"] = (
+            cfg.corner_loss_weight
+            * jnp.sum(huber.mean(axis=1) * w) / jnp.maximum(num_pos, 1.0)
+        )
+
+    if iou_logits is not None:
+        # IoU branch (sparse_cluster_head.py:197-203, get_iou_labels
+        # :339-361): piecewise-linear IoU labels between bg/fg thresholds,
+        # L1 against the logits, normalized by the class avg factor
+        dets = coder.decode(jax.lax.stop_gradient(reg_preds), cluster_xyz)
+        iou_all = boxes_iou_3d(dets[:, :7], flat_boxes[:, :7])  # [C, G]
+        box_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), m)
+        pair_ok = (
+            (cluster_batch[:, None] == box_batch[None, :])
+            & (gt.valid.reshape(-1) & (flat_labels >= 0))[None, :]
+        )
+        ious = jnp.max(jnp.where(pair_ok, iou_all, 0.0), axis=1).clip(0.0, 1.0)
+        lo, hi = cfg.iou_bg_thresh, cfg.iou_fg_thresh
+        iou_labels = jnp.clip((ious - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+        losses[prefix + "loss_iou"] = cfg.loss_iou_weight * jnp.sum(
+            jnp.abs(iou_logits - iou_labels) * cluster_valid
+        ) / jnp.maximum(cls_avg, 1.0)
+
     losses[prefix + "num_pos"] = num_pos
     return losses
 

@@ -19,6 +19,7 @@ from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..ops.segment import SegmentInfo, unique_segments, segment_max
@@ -110,6 +111,13 @@ def extract_roi_points(
     init = (zero_nk + neg, zero_nk)
     (top_scores, top_idx), _ = jax.lax.scan(step, init, (rois_c, rb_c, rv_c, base_c))
     member_ok = top_scores > neg
+    return _finalize_pairs(
+        xyz, rois, member_ok, top_idx, extra, capacity, rois_per_point
+    )
+
+
+def _finalize_pairs(xyz, rois, member_ok, top_idx, extra, capacity, rois_per_point):
+    """Compact [N, k] memberships to the fixed pair list + 13-dim geometry."""
     flat_ok = member_ok.reshape(-1)
     sel, sel_valid = masked_gather(flat_ok, capacity)
     point_idx = sel // rois_per_point
@@ -134,6 +142,119 @@ def extract_roi_points(
         geometry=geometry,
         valid=sel_valid,
     )
+
+
+def extract_roi_points_grid(
+    xyz: jax.Array,          # [N, 3]
+    point_batch: jax.Array,  # [N]
+    point_valid: jax.Array,  # [N]
+    rois: jax.Array,         # [Q, 7+] decoded boxes
+    roi_batch: jax.Array,    # [Q]
+    roi_valid: jax.Array,    # [Q]
+    extra_wlh: Tuple[float, float, float],
+    capacity: int,
+    rois_per_point: int = 2,
+    batch_size: int = 1,
+    bev_lo: Tuple[float, float] = (-54.0, -54.0),
+    bev_hi: Tuple[float, float] = (54.0, 54.0),
+    cell: float = 2.0,
+    window: int = 11,
+    cands_per_cell: int = 8,
+) -> RoiPoints:
+    """Spatial-hash RoI membership: O(N·K) instead of O(N·Q).
+
+    The reference's ``dynamic_point_pool`` is likewise a spatial-hash gather
+    (dynamic_point_pool_op.py:5-32), not a dense all-pairs test. RoIs
+    rasterize their enlarged BEV footprint onto a coarse cell grid (each
+    cell keeps its ``cands_per_cell`` lowest-index covering RoIs); each
+    point then tests only its own cell's candidates exactly. Matches the
+    scan path whenever ≤ ``cands_per_cell`` RoIs cover a cell (RoI stacking
+    after query generation is shallow; overflow drops highest-index RoIs,
+    the same preference order as the scan's top-2).
+    """
+    from ..ops.segment import ingroup_indices
+
+    q = rois.shape[0]
+    k = rois_per_point
+    assert k == 2, "top-2 merge implemented for rois_per_point == 2"
+    extra = jnp.asarray(extra_wlh, xyz.dtype)
+    nx = int(np.ceil((bev_hi[0] - bev_lo[0]) / cell))
+    ny = int(np.ceil((bev_hi[1] - bev_lo[1]) / cell))
+    ncells = batch_size * nx * ny
+    kc = cands_per_cell
+
+    # rasterize each RoI's window onto the cell grid
+    ctr = gravity_center(rois)
+    half = (rois[:, 3:6] + extra) * 0.5
+    rad = jnp.hypot(half[:, 0], half[:, 1])  # rotated-box BEV radius
+    ccx = jnp.floor((ctr[:, 0] - bev_lo[0]) / cell).astype(jnp.int32)
+    ccy = jnp.floor((ctr[:, 1] - bev_lo[1]) / cell).astype(jnp.int32)
+    w0 = window // 2
+    oi = jnp.arange(window, dtype=jnp.int32) - w0
+    ox, oy = jnp.meshgrid(oi, oi, indexing="ij")
+    ox, oy = ox.reshape(-1), oy.reshape(-1)                    # [W²]
+    gx = ccx[:, None] + ox[None]                               # [Q, W²]
+    gy = ccy[:, None] + oy[None]
+    in_grid = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+    # prune cells beyond the RoI's circumradius (+ half-cell diagonal)
+    cwx = bev_lo[0] + (gx.astype(xyz.dtype) + 0.5) * cell
+    cwy = bev_lo[1] + (gy.astype(xyz.dtype) + 0.5) * cell
+    margin = rad[:, None] + cell * 0.7072
+    near = (jnp.abs(cwx - ctr[:, None, 0]) <= margin) & (
+        jnp.abs(cwy - ctr[:, None, 1]) <= margin
+    )
+    pair_ok = in_grid & near & roi_valid[:, None]
+    cell_id = (roi_batch[:, None] * ny + gy) * nx + gx         # [Q, W²]
+    cell_id = jnp.where(pair_ok, cell_id, ncells)              # sentinel
+
+    flat_cell = cell_id.reshape(-1)
+    flat_roi = jnp.broadcast_to(
+        jnp.arange(q, dtype=jnp.int32)[:, None], cell_id.shape
+    ).reshape(-1)
+    flat_ok = pair_ok.reshape(-1)
+    # rank within cell: pairs are roi-major ascending, and ingroup_indices'
+    # stable sort preserves that order — rank r == r-th lowest roi index
+    rank = ingroup_indices(flat_cell, flat_ok)
+    keep = flat_ok & (rank >= 0) & (rank < kc)
+    slot = jnp.where(keep, flat_cell * kc + rank, ncells * kc)
+    table = jnp.full((ncells * kc + 1,), q, jnp.int32)
+    table = table.at[slot].set(flat_roi, mode="drop")
+
+    # per-point candidate lookup + exact rotated test
+    pcx = jnp.floor((xyz[:, 0] - bev_lo[0]) / cell).astype(jnp.int32)
+    pcy = jnp.floor((xyz[:, 1] - bev_lo[1]) / cell).astype(jnp.int32)
+    p_in = point_valid & (pcx >= 0) & (pcx < nx) & (pcy >= 0) & (pcy < ny)
+    pcell = (point_batch * ny + pcy) * nx + pcx
+    pcell = jnp.where(p_in, pcell, ncells)
+    cand = table[
+        (pcell[:, None] * kc).clip(0, ncells * kc)
+        + jnp.arange(kc, dtype=jnp.int32)[None]
+    ]                                                          # [N, kc]
+    cand_ok = (cand < q) & p_in[:, None]
+    safe = cand.clip(0, q - 1)
+    r = rois[safe]                                             # [N, kc, 7+]
+    rel = xyz[:, None, :] - gravity_center(r.reshape(-1, r.shape[-1])).reshape(
+        xyz.shape[0], kc, 3
+    )
+    local = rotate_points_z(rel, -r[..., 6])
+    inside = jnp.all(jnp.abs(local) <= (r[..., 3:6] + extra) * 0.5, axis=-1)
+    inside &= cand_ok
+
+    neg = jnp.int32(-q - 2)
+    score = jnp.where(inside, -safe, neg)
+    i1 = jnp.argmax(score, axis=1)
+    s1 = jnp.max(score, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+    masked = jnp.where(cols == i1[:, None], neg, score)
+    i2 = jnp.argmax(masked, axis=1)
+    s2 = jnp.max(masked, axis=1)
+    top_scores = jnp.stack([s1, s2], axis=1)
+    top_idx = jnp.stack(
+        [jnp.take_along_axis(safe, i1[:, None], 1)[:, 0],
+         jnp.take_along_axis(safe, i2[:, None], 1)[:, 0]], axis=1
+    )
+    member_ok = top_scores > neg
+    return _finalize_pairs(xyz, rois, member_ok, top_idx, extra, capacity, k)
 
 
 class FullySparseBboxHead(nn.Module):

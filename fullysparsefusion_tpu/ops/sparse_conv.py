@@ -28,6 +28,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from .segment import unique_segments, INVALID_KEY
@@ -181,9 +182,52 @@ class Rulebook:
     hits: jax.Array  # [K³, cap] bool
 
 
+def _subm_rulebook_triplets(st: SparseTensor) -> Rulebook:
+    """27-tap rulebook via x-triplet row gathers.
+
+    The dense table is linearized x-fastest, so for each of the 9 (dy,dz)
+    offsets the three dx∈{-1,0,1} taps are CONSECUTIVE table entries: one
+    gather of a 12-byte row replaces three scalar gathers (the scalar form
+    was the rulebook's bottleneck — same fix as the camera-mask lookup,
+    ops/projection.py). Tap order matches _kernel_offsets (kx fastest).
+    """
+    nx, ny, nz = st.dims
+    cells = st.batch_size * nx * ny * nz
+    table = build_dense_table(st)                      # [cells + 1]
+    tp = jnp.concatenate([jnp.zeros((1,), table.dtype), table])
+    # t3[k] = (table[k-1], table[k], table[k+1])
+    t3 = jnp.stack([tp[:cells], tp[1:cells + 1], tp[2:cells + 2]], axis=1)
+
+    oi = jnp.arange(3, dtype=jnp.int32) - 1
+    dy, dz = jnp.meshgrid(oi, oi, indexing="ij")       # [3, 3]
+    # (dy,dz) enumeration matching flat index kz*9 + ky*3 + kx: ky fastest
+    dys = dy.T.reshape(-1)                             # [9] ky fastest
+    dzs = dz.T.reshape(-1)
+    x = st.coords[:, 0]
+    yq = st.coords[None, :, 1] + dys[:, None]          # [9, cap]
+    zq = st.coords[None, :, 2] + dzs[:, None]
+    ok_yz = (
+        st.valid[None, :]
+        & (yq >= 0) & (yq < ny) & (zq >= 0) & (zq < nz)
+    )
+    key = ((st.batch[None, :] * nz + zq.clip(0, nz - 1)) * ny
+           + yq.clip(0, ny - 1)) * nx + x[None, :]     # [9, cap] center keys
+    key = jnp.where(ok_yz, key, 0)
+    vals = t3[key]                                     # [9, cap, 3]
+    ok_x = jnp.stack([x - 1 >= 0, jnp.ones_like(x, bool), x + 1 < nx])  # [3, cap]
+    hits = (vals > 0) & ok_yz[:, :, None] & ok_x.T[None, :, :]
+    rows = jnp.where(hits, vals - 1, st.capacity)
+    # [9, cap, 3] → [27, cap] with kx fastest within each (ky,kz) group
+    rows = rows.transpose(0, 2, 1).reshape(27, -1)
+    hits = hits.transpose(0, 2, 1).reshape(27, -1)
+    return Rulebook(rows=rows, hits=hits)
+
+
 def build_subm_rulebook(
     st: SparseTensor, kernel_size: Tuple[int, int, int] = (3, 3, 3)
 ) -> Rulebook:
+    if kernel_size == (3, 3, 3) and _use_dense(st):
+        return _subm_rulebook_triplets(st)
     offsets = _kernel_offsets(kernel_size)
     center = tuple(k // 2 for k in kernel_size)
     offs = jnp.asarray(
@@ -393,20 +437,28 @@ def downsample_coords(
     out_dims = tuple(
         conv_out_dim(dims[a], kernel_size[a], stride[a], padding[a]) for a in range(3)
     )
-    offsets = _kernel_offsets(kernel_size)
+    nx, ny, nz = out_dims
     cand_keys = []
     cand_valid = []
-    nx, ny, nz = out_dims
-    for (ox, oy, oz) in offsets:
-        num = st.coords + jnp.asarray(
-            [padding[0] - ox, padding[1] - oy, padding[2] - oz], jnp.int32
-        )
-        s = jnp.asarray(stride, jnp.int32)
-        q, r = jnp.divmod(num, s)
+    # distinct per-axis quotients: k ∈ [0, K) with exact division gives at
+    # most ⌈K/s⌉ integers q ∈ [⌈(x+p−K+1)/s⌉, ⌊(x+p)/s⌋] — enumerate those
+    # instead of all K³ kernel offsets (3.4× smaller sort for K=3, s=2)
+    import itertools
+
+    n_cand = [int(np.ceil(kernel_size[a] / stride[a])) for a in range(3)]
+
+    for deltas in itertools.product(*(range(c) for c in n_cand)):
+        q_axes, ok_axes = [], []
+        for a in range(3):
+            num = st.coords[:, a] + padding[a]
+            qhi = num // stride[a]
+            q = qhi - deltas[a]
+            k = num - q * stride[a]
+            ok_axes.append((k >= 0) & (k < kernel_size[a]) & (q >= 0))
+            q_axes.append(q)
+        q = jnp.stack(q_axes, axis=-1)
         ok = (
-            st.valid
-            & jnp.all(r == 0, axis=-1)
-            & jnp.all(q >= 0, axis=-1)
+            st.valid & ok_axes[0] & ok_axes[1] & ok_axes[2]
             & (q[:, 0] < nx) & (q[:, 1] < ny) & (q[:, 2] < nz)
         )
         cand_keys.append(jnp.where(ok, _linearize(q, st.batch, out_dims), INVALID_KEY))

@@ -181,16 +181,22 @@ def make_generic_sharded_train_step(
     from ..models import layers as L
 
     def local_step(state: TrainState, *batch):
+        # Differentiate the GLOBAL mean loss (pmean INSIDE the grad): with
+        # syncBN statistics and pmean'd loss normalizers the forward couples
+        # shards through psum, and shard_map's per-shard AD does not route
+        # cross-shard cotangents for a per-shard scalar — grads of per-shard
+        # losses + pmean were measured 8× off on an 8-way mesh. Grads of the
+        # pmean'd scalar are the exact global gradient (replicated), matching
+        # torch DDP+syncBN whose allreduce backward is an allreduce
+        # (tests/test_train.py::test_sharded_losses_match_single_device).
         def loss_fn(params):
             with L.bn_axis(axis):
                 losses, new_stats = forward(params, state.batch_stats, *batch)
-            return total_loss(losses), (losses, new_stats)
+            return jax.lax.pmean(total_loss(losses), axis), (losses, new_stats)
 
         (loss, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
         losses = jax.lax.pmean(losses, axis)
         new_stats = jax.lax.pmean(new_stats, axis)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

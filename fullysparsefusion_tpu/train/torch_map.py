@@ -156,7 +156,7 @@ def _sir(sub, base: Tuple[str, ...], prefix: str) -> List[Entry]:
 
 
 def _cluster_head(sub, base: Tuple[str, ...], prefix: str,
-                  attr_names: Tuple[str, ...] = ("center", "dim", "rot", "vel", "score"),
+                  attr_names: Tuple[str, ...] = ("center", "dim", "rot", "vel", "score", "iou"),
                   ) -> List[Entry]:
     """SparseClusterHead ↔ ``shared_mlp`` + ``task_heads.{t}.{attr}``
     (sparse_cluster_head.py:77, sparse_cluster_head_v2.py:110-118;

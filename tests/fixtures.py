@@ -213,7 +213,7 @@ def make_camera_data(
         np.stack(cams)[None], (batch_size, num_cams, 4, 4)
     ).copy()
 
-    masks = np.zeros((batch_size, num_cams, num_classes, img_h, img_w), np.int32)
+    masks = np.zeros((batch_size, num_cams, img_h, img_w, num_classes), np.uint8)
     anno = np.zeros((batch_size, max_anno, 9), np.float32)
     gtb = np.asarray(gt.boxes)
     gtl = np.asarray(gt.labels)
@@ -237,7 +237,7 @@ def make_camera_data(
             u0, u1 = max(0, u - r), min(img_w, u + r + 1)
             v0, v1 = max(0, v - r), min(img_h, v + r + 1)
             cls = int(gtl[b, j])
-            masks[b, ci, cls, v0:v1, u0:u1] = row + 1
+            masks[b, ci, v0:v1, u0:u1, cls] = row + 1
             anno[b, row] = [u0, v0, u1, v1, 0.9, cls, ci, row, 1]
             row += 1
     return CameraData(

@@ -111,6 +111,51 @@ def test_cli_end_to_end_on_fake_dataset(tmp_path, model):
     assert '"mAP"' in r.stdout, r.stdout[-500:]
 
 
+def test_fsf_train_sharded_with_paste_schedule(tmp_path):
+    """VERDICT r1 #6 done-criterion: ``tools/train.py --model fsf`` trains
+    on the fake on-disk dataset across the 8-device mesh with GT-paste on
+    for step 1 and disabled from step 2 (DisableAugmentationHook)."""
+    info_path, mask_dir = _build_fake_dataset(str(tmp_path), n_samples=8)
+    work = str(tmp_path / "work")
+    # build the paste database from the same dataset
+    db_path = str(tmp_path / "gt_db.pkl")
+    r0 = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools", "create_gt_database.py"),
+            "--info-pkl", info_path, "--data-root", str(tmp_path),
+            "--out", db_path, "--min-points", "3",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools", "train.py"),
+            "--tiny", "--cpu", "--model", "fsf",
+            "--info-pkl", info_path, "--data-root", str(tmp_path),
+            "--mask-dir", mask_dir, "--img-h", "64", "--img-w", "96",
+            "--mask-downsample", "1",
+            "--gt-db", db_path, "--paste-max", "1", "--disable-aug-step", "2",
+            "--work-dir", work, "--max-steps", "3", "--batch-size", "8",
+            "--log-interval", "1", "--ckpt-interval", "100",
+        ],
+        capture_output=True, text=True, timeout=2400, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "data-parallel over 8 devices" in r.stdout, r.stdout[-800:]
+    log = open(os.path.join(work, "train_log.jsonl")).read().strip().splitlines()
+    recs = [json.loads(l) for l in log]
+    assert len(recs) == 3
+    assert all(np.isfinite(rec["loss"]) for rec in recs)
+    # paste active for steps 1-2, off at step 3 (0-indexed step 2)
+    assert recs[0]["paste"] is True and recs[-1]["paste"] is False, recs
+
+
 def test_train_then_eval_lifecycle(tmp_path):
     """Train on the fake dataset, checkpoint, then evaluate from the
     checkpoint — the full user lifecycle on disk."""

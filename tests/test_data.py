@@ -125,10 +125,10 @@ def test_waymo_mask_variant(tmp_path):
         str(tmp_path), "seg0", l2i, img_hw=(H, W),
         class_names=("vehicle", "pedestrian", "cyclist"),
     )
-    assert masks.shape == (5, 3, H, W)
-    assert (masks[0, 0] == 1).sum() == 10 * 20
+    assert masks.shape == (5, H, W, 3) and masks.dtype == np.uint8
+    assert (masks[0, :, :, 0] == 1).sum() == 10 * 20
     # back cam upsampled ×2 in each dim → 4× the pixels
-    assert (masks[3, 1] == 2).sum() == 4 * (5 * 10)
+    assert (masks[3, :, :, 1] == 2).sum() == 4 * (5 * 10)
     # lidar2img rows scaled for the resized camera only
     assert l2i_out[3, 0, 0] == 2.0 and l2i_out[3, 1, 1] == 2.0
     assert l2i_out[0, 0, 0] == 1.0

@@ -134,3 +134,28 @@ def test_noisy_translation_raises_ate():
     m = evaluate_detections(recs, 3)
     assert m["tp_errors"]["ATE"] > 0.1
     assert m["mAP"] > 0.5  # still matched at coarser thresholds
+
+
+def test_av2_cds_perfect_and_degraded():
+    """AV2 protocol: perfect detections give CDS == AP == 1; degraded
+    translation lowers ATE→CDS but not AP at coarse thresholds."""
+    from fullysparsefusion_tpu.eval.av2_detection import evaluate_av2
+
+    b, l = _scene(1)
+    rec = DetectionRecord(
+        boxes=b, scores=np.linspace(0.9, 0.5, len(b)).astype(np.float32),
+        labels=l, gt_boxes=b, gt_labels=l,
+    )
+    m = evaluate_av2([rec], 3)
+    assert m["mAP"] > 0.95 and m["CDS"] > 0.95, m
+
+    noisy = b.copy()
+    noisy[:, :2] += 0.45
+    rec2 = DetectionRecord(
+        boxes=noisy, scores=np.full(len(b), 0.9, np.float32), labels=l,
+        gt_boxes=b, gt_labels=l,
+    )
+    m2 = evaluate_av2([rec2], 3)
+    assert m2["CDS"] < m2["mAP"], m2
+    for v in m2["per_class"].values():
+        assert 0.5 < v["ATE"] < 0.8

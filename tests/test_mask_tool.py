@@ -36,11 +36,11 @@ def test_tool_loader_roundtrip(tmp_path):
     masks, annos = paint_sample(dets, 4, 6, (64, 96))
     save_sample(str(tmp_path), "tok", masks, annos)
     m, a = load_sample_masks(str(tmp_path), "tok", 4, 6, (64, 96), max_anno=32)
-    assert m.shape == (4, 6, 64, 96)
+    assert m.shape == (4, 64, 96, 6) and m.dtype == np.uint8  # channel-last
     assert int(a[:, 8].sum()) == len(annos)
     # every painted plane survives the roundtrip
     for (cam, cls), plane in masks.items():
-        np.testing.assert_array_equal(m[cam, cls], plane)
+        np.testing.assert_array_equal(m[cam, :, :, cls], plane)
 
 
 def test_virtual_points_loader(tmp_path):

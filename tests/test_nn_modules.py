@@ -136,3 +136,64 @@ def test_sparse_unet_jit_and_grad():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(l)) for l in leaves)
     assert any(np.abs(l).sum() > 0 for l in leaves)
+
+
+def test_cluster_head_iou_branch_and_corner_loss():
+    """Optional IoU branch + corner loss (sparse_cluster_head.py:197-247,
+    339-361; off in shipped configs)."""
+    import dataclasses
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from fullysparsefusion_tpu.config import HeadConfig
+    from fullysparsefusion_tpu.models.heads import (
+        SparseClusterHead, cluster_head_loss,
+    )
+    from fullysparsefusion_tpu.utils.containers import GroundTruth
+
+    cfg = HeadConfig(
+        in_channel=32, shared_mlp_dims=(32, 32),
+        common_attrs=(("center", 3, 1, 16), ("dim", 3, 1, 16),
+                      ("rot", 2, 1, 16), ("vel", 2, 1, 16)),
+        num_cls_layer=1, cls_hidden_dim=16, num_classes=3,
+        with_iou=True, with_corner_loss=True,
+    )
+    head = SparseClusterHead(cfg=cfg, tasks=(("a", "b", "c"),),
+                             class_names=("a", "b", "c"))
+    rng = np.random.default_rng(0)
+    C = 24
+    feats = jnp.asarray(rng.normal(size=(C, 32)).astype(np.float32))
+    valid = jnp.asarray(rng.random(C) < 0.9)
+    vars_ = head.init(jax.random.key(0), feats, valid, False)
+    out = head.apply(vars_, feats, valid, False)
+    assert "iou_logits" in out and out["iou_logits"][0].shape == (C,)
+
+    xyz = jnp.asarray(rng.uniform(-10, 10, (C, 3)).astype(np.float32))
+    batch = jnp.zeros(C, jnp.int32)
+    boxes = np.zeros((1, 4, 10), np.float32)
+    boxes[0, :, :7] = [[0, 0, -1, 3, 2, 1.5, 0.3]] * 4
+    boxes[0, :, 0] = [0, 5, -5, 8]
+    boxes[0, :, 9] = 1.0
+    gt = GroundTruth(
+        boxes=jnp.asarray(boxes),
+        labels=jnp.asarray(np.array([[0, 1, 2, 0]], np.int32)),
+        valid=jnp.asarray(np.ones((1, 4), bool)),
+    )
+    losses = cluster_head_loss(
+        out["cls_logits"][0], out["reg_preds"][0], xyz, batch, valid, gt, cfg,
+        iou_logits=out["iou_logits"][0],
+    )
+    assert "loss_corner" in losses and "loss_iou" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    # gradients flow through both optional branches
+    def f(p):
+        o = head.apply({"params": p}, feats, valid, False)
+        l = cluster_head_loss(
+            o["cls_logits"][0], o["reg_preds"][0], xyz, batch, valid, gt, cfg,
+            iou_logits=o["iou_logits"][0],
+        )
+        return l["loss_corner"] + l["loss_iou"]
+    g = jax.grad(f)(vars_["params"])
+    norm = float(jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(g))))
+    assert norm > 0

@@ -1,5 +1,12 @@
-"""Single-stage timing of the flagship forward (one jit per invocation —
-remote compiles are slow, so pick the stage via --stage)."""
+"""Stage-level timing of the flagship FSF forward at bench scale.
+
+One jit per invocation (remote compiles are serialized and slow) — pick the
+stage via --stage; cumulative stages measure ①..stage so the per-phase cost
+is the difference between consecutive stages.
+
+    python tools/profile_bench.py --stage seg
+    python tools/profile_bench.py --stage full
+"""
 import argparse
 import os
 import sys
@@ -10,18 +17,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 import numpy as np
 
+STAGES = ("voxvfe", "unet", "seg", "frustum", "fsd", "fusion", "full")
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", default="full",
-                    choices=["seg", "fg", "query", "full", "voxvfe", "unet"])
+    ap.add_argument("--stage", default="full", choices=STAGES)
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
     import jax
     from bench import build_bench_model
 
-    cfg, model, vars_, pb = build_bench_model()
+    cfg, model, vars_, pb, cam = build_bench_model()
 
     if args.stage in ("voxvfe", "unet"):
         import jax.numpy as jnp
@@ -29,12 +37,40 @@ def main():
         from fullysparsefusion_tpu.ops.sparse_conv import SparseTensor
         from fullysparsefusion_tpu.models.vfe import DynamicScatterVFE
         from fullysparsefusion_tpu.models.sparse_unet import SparseUNet
+        from fullysparsefusion_tpu.utils.containers import PointBatch
 
-        sc = cfg.segmentor
+        sc = cfg.fsd.segmentor
+        caps = cfg.fsd.caps
+        pb_in = PointBatch(
+            points=pb.points[:, :-3], batch_idx=pb.batch_idx, valid=pb.valid
+        )
         vfe = DynamicScatterVFE(
             feat_channels=tuple(sc.vfe_channels), voxel_size=sc.voxel_size,
             pc_range_min=tuple(sc.point_cloud_range[:3]),
         )
+
+        def voxvfe(pb_in):
+            seg, _, vb, vc = voxelize_points(
+                pb_in.xyz, pb_in.batch_idx, pb_in.valid, sc.voxel_size,
+                sc.point_cloud_range, caps.voxels,
+            )
+            pv = pb_in.valid & (seg.seg_id < caps.voxels)
+            params = vfe.init(jax.random.key(0), pb_in.points, seg, vc, pv, False)
+            return vfe.apply(params, pb_in.points, seg, vc, pv, False)
+
+        if args.stage == "voxvfe":
+            jfn = jax.jit(lambda pb_in: voxvfe(pb_in).sum())
+            t0 = time.time()
+            np.asarray(jfn(pb_in))
+            print(f"stage=voxvfe compile {time.time()-t0:.1f}s")
+            t0 = time.time()
+            for _ in range(args.iters):
+                r = jfn(pb_in)
+            np.asarray(r)
+            print(f"stage=voxvfe run {(time.time()-t0)/args.iters*1000:.1f} ms")
+            return
+
+        # unet over the REAL voxelized bench-scene active set
         unet = SparseUNet(
             base_channels=sc.unet_base_channels,
             output_channels=sc.unet_output_channels,
@@ -42,77 +78,61 @@ def main():
             encoder_strided_paddings=sc.unet_strided_paddings,
             decoder_channels=sc.unet_decoder_channels,
             stage_capacity_divisors=sc.unet_capacity_divisors,
+            stage_capacities=sc.unet_stage_capacities,
         )
-
-        def voxvfe(pb):
-            seg, _, vb, vc = voxelize_points(
-                pb.xyz, pb.batch_idx, pb.valid, sc.voxel_size,
-                sc.point_cloud_range, cfg.caps.voxels,
+        seg, _, vb, vc = jax.jit(lambda p: voxelize_points(
+            p.xyz, p.batch_idx, p.valid, sc.voxel_size, sc.point_cloud_range,
+            caps.voxels,
+        ))(pb_in)
+        dims = grid_dims(sc.voxel_size, sc.point_cloud_range)
+        rngk = jax.random.key(0)
+        feats = jax.random.normal(rngk, (caps.voxels, sc.vfe_channels[-1]), jnp.float32)
+        st0 = SparseTensor(
+            feats=feats, coords=vc, batch=vb, valid=seg.seg_valid,
+            dims=dims, batch_size=1,
+        )
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            uparams = jax.jit(lambda st: unet.init(jax.random.key(0), st, False))(
+                jax.device_put(st0, cpu)
             )
-            pv = pb.valid & (seg.seg_id < cfg.caps.voxels)
-            params = vfe.init(jax.random.key(0), pb.points, seg, vc, pv, False)
-            return vfe.apply(params, pb.points, seg, vc, pv, False)
+        uparams = jax.device_put(uparams, jax.devices()[0])
+        st0 = jax.device_put(st0, jax.devices()[0])
+        jfn = jax.jit(lambda up, st: unet.apply(up, st, False).sum())
+        t0 = time.time()
+        np.asarray(jfn(uparams, st0))
+        print(f"stage=unet compile {time.time()-t0:.1f}s  "
+              f"(active={int(np.asarray(seg.seg_valid.sum()))})")
+        t0 = time.time()
+        for _ in range(args.iters):
+            r = jfn(uparams, st0)
+        np.asarray(r)
+        print(f"stage=unet run {(time.time()-t0)/args.iters*1000:.1f} ms")
+        return
 
-        if args.stage == "voxvfe":
-            fn = voxvfe
-        else:
-            import numpy as _np
-            rng = _np.random.default_rng(0)
-            cap = cfg.caps.voxels
-            dims = grid_dims(sc.voxel_size, sc.point_cloud_range)
-            lin = rng.choice(dims[0] * dims[1] * min(dims[2], 8), cap, replace=False)
-            coords = _np.stack(
-                [lin % dims[0], (lin // dims[0]) % dims[1], lin // (dims[0] * dims[1])], 1
-            ).astype(_np.int32)
-            st0 = SparseTensor(
-                feats=jnp.asarray(rng.normal(size=(cap, sc.vfe_channels[-1])).astype(_np.float32)),
-                coords=jnp.asarray(coords),
-                batch=jnp.zeros(cap, jnp.int32),
-                valid=jnp.ones(cap, bool),
-                dims=dims, batch_size=1,
-            )
-            uparams = unet.init(jax.random.key(0), st0, False)
+    until = None if args.stage == "full" else args.stage
 
-            def fn(st):
-                return unet.apply(uparams, st, False)
-
-            pb = st0  # pass the sparse tensor as the jitted argument
-
-    elif args.stage == "seg":
-        fn = lambda pb: model.apply(
-            vars_, pb, 1, False, method=lambda m, pb, bs, tr: m.segmentor(pb, tr, bs)
-        )["seg_logits"]
-    elif args.stage == "fg":
-        def fn(pb):
-            seg_out = model.apply(
-                vars_, pb, 1, False, method=lambda m, pb, bs, tr: m.segmentor(pb, tr, bs)
-            )
-            fg, cseg, cxyz, cb, cg, cv = model.apply(
-                vars_, pb, seg_out, 1,
-                method=lambda m, pb, so, bs: m.query_branch.extract_foreground(pb, so, bs),
-            )
-            return cxyz
-    elif args.stage == "query":
-        def fn(pb):
-            seg_out = model.apply(
-                vars_, pb, 1, False, method=lambda m, pb, bs, tr: m.segmentor(pb, tr, bs)
-            )
-            return model.apply(
-                vars_, pb, seg_out, 1, False,
-                method=lambda m, pb, so, bs, tr: m.query_branch(pb, so, bs, tr),
-            )["cls_logits"]
-    else:
-        fn = lambda pb: model.apply(vars_, pb, 1, None, False)["cls_logits"]
+    def fn(vars_, pb, cam):
+        out = model.apply(
+            vars_, pb, cam, 1, None, None, False, 0.0, 1.0, until,
+            method=lambda m, *a: m(*a),
+        )
+        if until == "seg":
+            return out["seg_out"]["seg_logits"]
+        if until == "frustum":
+            return out["frustum"]["cls_logits"][0]
+        if until in ("fsd", "fusion"):
+            return out["fsd"]["cls_logits"]
+        return out["final"]["cls_logits"]
 
     jfn = jax.jit(fn)
     t0 = time.time()
-    np.asarray(jfn(pb))
+    np.asarray(jfn(vars_, pb, cam)[:1])
     print(f"stage={args.stage} compile {time.time()-t0:.1f}s")
     t0 = time.time()
     for _ in range(args.iters):
-        r = jfn(pb)
-    jax.block_until_ready(r)
-    np.asarray(r[:1])
+        r = jfn(vars_, pb, cam)
+    np.asarray(r[:1])  # host readback — block_until_ready doesn't sync the tunnel
     print(f"stage={args.stage} run {(time.time()-t0)/args.iters*1000:.1f} ms")
 
 

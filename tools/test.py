@@ -29,6 +29,8 @@ def parse_args():
     p.add_argument("--out", default="results/detections.json")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--eval", action="store_true", help="run the built-in evaluator")
+    p.add_argument("--eval-protocol", default="nuscenes", choices=["nuscenes", "av2"],
+                   help="nuScenes mAP/NDS or AV2 AP/CDS")
     p.add_argument("--max-samples", type=int, default=0)
     p.add_argument("--model", default="fsd", choices=["fsd", "fsf"])
     p.add_argument("--tiny", action="store_true",
@@ -257,7 +259,12 @@ def main():
     print(json.dumps({"samples": len(all_results), "sec_per_sample": round(dt, 3),
                       "out": args.out}))
     if args.eval:
-        metrics = evaluate_detections(records, len(cfg.class_names), cfg.class_names)
+        if args.eval_protocol == "av2":
+            from fullysparsefusion_tpu.eval.av2_detection import evaluate_av2
+
+            metrics = evaluate_av2(records, len(cfg.class_names), cfg.class_names)
+        else:
+            metrics = evaluate_detections(records, len(cfg.class_names), cfg.class_names)
         print(json.dumps(metrics, indent=2))
 
 
