@@ -94,6 +94,49 @@ def build_bench_model():
     return cfg, model, vars_, pb, cam
 
 
+def measure_train_step(cfg, model, vars_, pb, cam):
+    """One full-fusion training step at bench scale (opt-in:
+    FSF_BENCH_TRAIN=1) — returns ms/step or None on OOM."""
+    import jax
+    import jax.numpy as jnp
+
+    from fixtures import make_scene
+    from fullysparsefusion_tpu.parallel import (
+        TrainState, make_optimizer, make_generic_train_step, fsf_forward_fn,
+    )
+    from fullysparsefusion_tpu.utils.containers import GroundTruth
+
+    _, gt = make_scene(
+        seed=1, batch_size=1, boxes_per_sample=32, pts_per_box=10,
+        bg_points=100, n_cap=1024, max_gt=cfg.fsd.caps.max_gt, extent=45.0,
+    )
+    gt = jax.device_put(gt, jax.devices()[0])
+    tx = make_optimizer(base_lr=1e-4, total_steps=100)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        opt_state = tx.init(jax.device_put(vars_["params"], cpu))
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=vars_["params"], batch_stats=vars_["batch_stats"],
+        opt_state=jax.device_put(opt_state, jax.devices()[0]),
+    )
+    step = make_generic_train_step(fsf_forward_fn(model, 1), tx)
+    try:
+        t0 = time.time()
+        state, loss, _ = step(state, pb, cam, gt, gt)
+        np.asarray(loss)
+        compile_s = time.time() - t0
+        n = 5
+        t0 = time.time()
+        for _ in range(n):
+            state, loss, _ = step(state, pb, cam, gt, gt)
+        np.asarray(loss)
+        return (time.time() - t0) / n * 1000, compile_s
+    except Exception as e:  # noqa: BLE001 — OOM reporting
+        print(f"# train-step bench failed: {type(e).__name__}", file=sys.stderr)
+        return None, None
+
+
 def main():
     import jax
 
@@ -120,6 +163,13 @@ def main():
     dt = (time.time() - t0) / n_iter
     fps = 1.0 / dt
 
+    extra = {}
+    if os.environ.get("FSF_BENCH_TRAIN"):
+        train_ms, train_compile = measure_train_step(cfg, model, vars_, pb, cam)
+        if train_ms is not None:
+            extra["train_ms_per_step"] = round(train_ms, 1)
+            extra["train_compile_s"] = round(train_compile, 1)
+
     print(
         json.dumps(
             {
@@ -133,6 +183,7 @@ def main():
                     "device": str(jax.devices()[0]),
                     "points_capacity": 131072,
                     "queries": int(cfg.caps.frustum_objects + cfg.caps.clusters),
+                    **extra,
                 },
             }
         )

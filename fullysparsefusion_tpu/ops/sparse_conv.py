@@ -24,6 +24,7 @@ torch/spconv so converted checkpoints keep semantics).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -247,6 +248,92 @@ def build_subm_rulebook(
     return Rulebook(rows=rows, hits=hits)
 
 
+def _gather_conv(feats_z, rows, w16):
+    """Σ_k feats_z[rows[k]] @ w16[k] with f32 accumulation (feats_z carries
+    the appended zero row that misses point at)."""
+    out = jnp.zeros((rows.shape[1], w16.shape[-1]), jnp.float32)
+    # per-tap gather+matmul streams best; measured alternatives on v5e:
+    # single [K³·cap] gather then slices: +9 ms; tap-concat wide matmul:
+    # 8.7× worse; full einsum contraction: +30 ms
+    for ki in range(rows.shape[0]):
+        out = out + jnp.dot(
+            feats_z[rows[ki]], w16[ki], preferred_element_type=jnp.float32
+        )
+    return out
+
+
+def _append_zero_row(x):
+    return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
+
+
+def _pvary_params(*xs):
+    """Mark conv parameters device-varying under a shard_map mesh axis.
+
+    The convs carry custom VJPs, and a custom bwd must return cotangents
+    whose varying-mesh-axes set matches its primal inputs — it cannot psum
+    an invariant param's cotangent itself. Casting params to varying HERE
+    (outside the custom boundary, under the same axis context the syncBN
+    layers use) lets the pcast transpose insert that psum, which is exactly
+    the DDP all-reduce semantics the DP step wants (parallel/train.py).
+    No-op when no mesh axis is active (plain jit) or for None (bias-less).
+    """
+    from ..models.layers import _BN_AXIS  # lazy: avoids import cycle
+
+    axis = _BN_AXIS.get()
+    if axis is None:
+        return xs if len(xs) > 1 else xs[0]
+    out = tuple(
+        None if x is None else jax.lax.pcast(x, axis, to="varying")
+        for x in xs
+    )
+    return out if len(out) > 1 else out[0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _subm_conv_core(feats, w, valid, rows, compute_dtype_name: str):
+    cdtype = jnp.dtype(compute_dtype_name)
+    f16 = _append_zero_row(feats).astype(cdtype)
+    out = _gather_conv(f16, rows, w.astype(cdtype))
+    return out * valid[:, None].astype(out.dtype)
+
+
+def _subm_conv_fwd(feats, w, valid, rows, compute_dtype_name):
+    return (
+        _subm_conv_core(feats, w, valid, rows, compute_dtype_name),
+        (feats, w, valid, rows),
+    )
+
+
+def _subm_conv_bwd(compute_dtype_name, res, g):
+    """Scatter-free backward: on TPU the autodiff transpose of a gather is a
+    serialized scatter-add (measured 54 s/step at production scale — 250×
+    the forward). The submanifold tap set is symmetric (o_{K³−1−k} = −o_k),
+    so d_in is ITSELF a gather conv through the mirrored rulebook with
+    transposed weights, and d_w re-gathers the forward rows — no scatters
+    anywhere."""
+    feats, w, valid, rows = res
+    cdtype = jnp.dtype(compute_dtype_name)
+    k3 = rows.shape[0]
+    g = g * valid[:, None].astype(g.dtype)
+    g16 = _append_zero_row(g).astype(cdtype)
+    # d_feats[p] = Σ_k g[row(p − o_k)] @ w[k]^T: row(p − o_k) is the
+    # MIRRORED rulebook entry rows[K³−1−k][p] (tap enumeration is symmetric)
+    wT = w.transpose(0, 2, 1).astype(cdtype)    # [K³, Cout, Cin]
+    mirror_rows = jnp.flip(rows, axis=0)
+    d_feats = _gather_conv(g16, mirror_rows, wT).astype(feats.dtype)
+    # d_w[k] = in[rows[k]]^T @ g
+    f16 = _append_zero_row(feats).astype(cdtype)
+    d_w = jnp.stack([
+        jnp.dot(f16[rows[ki]].T, g.astype(cdtype),
+                preferred_element_type=jnp.float32)
+        for ki in range(k3)
+    ]).astype(w.dtype)
+    return d_feats, d_w, None, None
+
+
+_subm_conv_core.defvjp(_subm_conv_fwd, _subm_conv_bwd)
+
+
 def subm_conv_apply(
     feats: jax.Array,      # [cap, Cin]
     valid: jax.Array,      # [cap]
@@ -258,29 +345,15 @@ def subm_conv_apply(
     """Apply a submanifold conv through a prebuilt rulebook.
 
     Gather-matmul-accumulate per kernel tap; bf16 inputs, f32 accumulation.
+    Custom VJP keeps the BACKWARD scatter-free too (see _subm_conv_bwd).
     (A tap-concat variant — one [cap, 9·Cin] matmul per 9 taps — measured
     8.7× SLOWER on v5e: the [cap, t, Cin] → [cap, t·Cin] relayout dominates.)
     """
-    k3 = rb.rows.shape[0]
-    cout = w.shape[-1]
-    out = jnp.zeros((feats.shape[0], cout), jnp.float32)
-    # append the zero row that rulebook misses point at — gathers then need
-    # no mask multiply. Invalid active-set rows already carry zero features
-    # (every producer masks by validity).
-    f16 = jnp.concatenate(
-        [feats, jnp.zeros((1, feats.shape[1]), feats.dtype)]
-    ).astype(compute_dtype)
-    w16 = w.astype(compute_dtype)
-    # per-tap gather+matmul streams best; measured alternatives on v5e:
-    # single [K³·cap] gather then slices: +9 ms; tap-concat wide matmul:
-    # 8.7× worse; full einsum contraction: +30 ms
-    for ki in range(k3):
-        out = out + jnp.dot(
-            f16[rb.rows[ki]], w16[ki], preferred_element_type=jnp.float32
-        )
+    w, b = _pvary_params(w, b)
+    out = _subm_conv_core(feats, w, valid, rb.rows, jnp.dtype(compute_dtype).name)
     if b is not None:
-        out = out + b
-    return out * valid[:, None].astype(out.dtype)
+        out = out + b * valid[:, None].astype(out.dtype)
+    return out
 
 
 def subm_conv3d(
@@ -478,6 +551,92 @@ def downsample_coords(
     return out_coords, bb.astype(jnp.int32), seg.seg_valid, out_dims
 
 
+def _pair_query_rows(
+    coords, batch, valid, tgt_coords, tgt_batch, tgt_valid, tgt_dims,
+    batch_size, kernel_size, stride, padding, mode,
+):
+    """Per-tap row maps between a strided conv's two active sets.
+
+    mode 'mul': query coord·s − pad + o_k (fine→coarse receptive field);
+    mode 'div': query (coord + pad − o_k)/s with exact division. Misses
+    point at the target capacity (zero row).
+    """
+    offsets = jnp.asarray(_kernel_offsets(kernel_size), jnp.int32)
+    k3 = offsets.shape[0]
+    sv = jnp.asarray(stride, jnp.int32)
+    pv = jnp.asarray(padding, jnp.int32)
+    if mode == "mul":
+        q = coords[None, :, :] * sv - pv + offsets[:, None, :]
+        ok = jnp.broadcast_to(valid, (k3,) + valid.shape)
+    else:
+        num = coords[None, :, :] + pv - offsets[:, None, :]
+        q, r = jnp.divmod(num, sv)
+        ok = valid[None, :] & jnp.all(r == 0, axis=-1)
+    tgt = SparseTensor(
+        feats=jnp.zeros((tgt_coords.shape[0], 1), jnp.float32),
+        coords=tgt_coords, batch=tgt_batch, valid=tgt_valid,
+        dims=tgt_dims, batch_size=batch_size,
+    )
+    rows, hits = neighbor_lookup(
+        tgt, q, jnp.broadcast_to(batch, (k3,) + batch.shape), ok
+    )
+    return jnp.where(hits, rows, tgt_coords.shape[0])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pair_conv_core(static, feats, w, out_valid, rows_fwd,
+                    in_coords, in_batch, in_valid, out_coords, out_batch):
+    """Gather conv between two active sets; scatter-free custom backward.
+
+    ``static`` = (kernel_size, stride, padding, in_dims, out_dims,
+    batch_size, cdtype_name, bwd_mode) — bwd_mode is the query mode the
+    BACKWARD uses to map input rows onto output rows ('div' for the strided
+    conv, 'mul' for the inverse conv).
+    """
+    *_, cdtype_name, _bwd_mode = static
+    cdtype = jnp.dtype(cdtype_name)
+    f16 = _append_zero_row(feats).astype(cdtype)
+    out = _gather_conv(f16, rows_fwd, w.astype(cdtype))
+    return out * out_valid[:, None].astype(out.dtype)
+
+
+def _pair_conv_fwd(static, feats, w, out_valid, rows_fwd,
+                   in_coords, in_batch, in_valid, out_coords, out_batch):
+    out = _pair_conv_core(static, feats, w, out_valid, rows_fwd,
+                          in_coords, in_batch, in_valid, out_coords, out_batch)
+    return out, (feats, w, out_valid, rows_fwd,
+                 in_coords, in_batch, in_valid, out_coords, out_batch)
+
+
+def _pair_conv_bwd(static, res, g):
+    """d_in via the INVERSE per-tap lookup (gathers, not TPU scatter-adds —
+    the autodiff transpose of the forward gathers serializes into scatters
+    measured 250× slower than the forward at production scale)."""
+    (feats, w, out_valid, rows_fwd,
+     in_coords, in_batch, in_valid, out_coords, out_batch) = res
+    kernel_size, stride, padding, in_dims, out_dims, batch_size, cdtype_name, bwd_mode = static
+    cdtype = jnp.dtype(cdtype_name)
+    g = g * out_valid[:, None].astype(g.dtype)
+    g16 = _append_zero_row(g).astype(cdtype)
+    rows_bwd = _pair_query_rows(
+        in_coords, in_batch, in_valid, out_coords, out_batch, out_valid,
+        out_dims, batch_size, kernel_size, stride, padding, bwd_mode,
+    )
+    wT = w.transpose(0, 2, 1).astype(cdtype)
+    d_feats = _gather_conv(g16, rows_bwd, wT).astype(feats.dtype)
+    d_feats = d_feats * in_valid[:, None].astype(d_feats.dtype)
+    f16 = _append_zero_row(feats).astype(cdtype)
+    d_w = jnp.stack([
+        jnp.dot(f16[rows_fwd[ki]].T, g.astype(cdtype),
+                preferred_element_type=jnp.float32)
+        for ki in range(rows_fwd.shape[0])
+    ]).astype(w.dtype)
+    return (d_feats, d_w, None, None, None, None, None, None, None)
+
+
+_pair_conv_core.defvjp(_pair_conv_fwd, _pair_conv_bwd)
+
+
 def sparse_conv3d(
     st: SparseTensor,
     w: jax.Array,
@@ -495,30 +654,21 @@ def sparse_conv3d(
     out_coords, out_batch, out_valid, out_dims = downsample_coords(
         st, kernel_size, stride, padding, out_capacity
     )
-    offsets = jnp.asarray(_kernel_offsets(kernel_size), jnp.int32)  # [K³, 3]
-    k3 = offsets.shape[0]
-    cout = w.shape[-1]
-    cdtype = compute_dtype or st.feats.dtype
-    f16 = st.feats.astype(cdtype)
-    w16 = w.astype(cdtype)
-    out = jnp.zeros((out_capacity, cout), jnp.float32)
-    sv = jnp.asarray(stride, jnp.int32)
-    pv = jnp.asarray(padding, jnp.int32)
-    q = out_coords[None, :, :] * sv - pv + offsets[:, None, :]  # [K³, cap, 3]
-    rows, hits = neighbor_lookup(
-        st, q,
-        jnp.broadcast_to(out_batch, (k3,) + out_batch.shape),
-        jnp.broadcast_to(out_valid, (k3,) + out_valid.shape),
+    cdtype = jnp.dtype(compute_dtype or st.feats.dtype)
+    rows = _pair_query_rows(
+        out_coords, out_batch, out_valid, st.coords, st.batch, st.valid,
+        st.dims, st.batch_size, kernel_size, stride, padding, "mul",
     )
-    rows = jnp.where(hits, rows, st.capacity)  # misses → zero row
-    f16 = jnp.concatenate([f16, jnp.zeros((1, f16.shape[1]), f16.dtype)])
-    for ki in range(k3):
-        out = out + jnp.dot(
-            f16[rows[ki]], w16[ki], preferred_element_type=jnp.float32
-        )
+    static = (tuple(kernel_size), tuple(stride), tuple(padding),
+              tuple(st.dims), tuple(out_dims), st.batch_size,
+              cdtype.name, "div")
+    w, b = _pvary_params(w, b)
+    out = _pair_conv_core(
+        static, st.feats, w, out_valid, rows,
+        st.coords, st.batch, st.valid, out_coords, out_batch,
+    )
     if b is not None:
-        out = out + b
-    out = out * out_valid[:, None].astype(out.dtype)
+        out = out + b * out_valid[:, None].astype(out.dtype)
     return SparseTensor(
         feats=out, coords=out_coords, batch=out_batch, valid=out_valid,
         dims=out_dims, batch_size=st.batch_size,
@@ -543,33 +693,21 @@ def sparse_inverse_conv3d(
     Inverts a paired strided conv: target t receives from coarse y where
     t = y·s − p + k  ⇔  y = (t + p − k)/s (exact division required).
     """
-    offsets = jnp.asarray(_kernel_offsets(kernel_size), jnp.int32)
-    k3 = offsets.shape[0]
-    cout = w.shape[-1]
-    cap = target_coords.shape[0]
-    cdtype = compute_dtype or st.feats.dtype
-    f16 = st.feats.astype(cdtype)
-    w16 = w.astype(cdtype)
-    out = jnp.zeros((cap, cout), jnp.float32)
-    sv = jnp.asarray(stride, jnp.int32)
-    pv = jnp.asarray(padding, jnp.int32)
-    num = target_coords[None, :, :] + pv - offsets[:, None, :]  # [K³, cap, 3]
-    q, r = jnp.divmod(num, sv)
-    ok = target_valid[None, :] & jnp.all(r == 0, axis=-1)
-    rows, hits = neighbor_lookup(
-        st, q,
-        jnp.broadcast_to(target_batch, (k3,) + target_batch.shape),
-        ok,
+    cdtype = jnp.dtype(compute_dtype or st.feats.dtype)
+    rows = _pair_query_rows(
+        target_coords, target_batch, target_valid, st.coords, st.batch,
+        st.valid, st.dims, st.batch_size, kernel_size, stride, padding, "div",
     )
-    rows = jnp.where(hits, rows, st.capacity)  # misses → zero row
-    f16 = jnp.concatenate([f16, jnp.zeros((1, f16.shape[1]), f16.dtype)])
-    for ki in range(k3):
-        out = out + jnp.dot(
-            f16[rows[ki]], w16[ki], preferred_element_type=jnp.float32
-        )
+    static = (tuple(kernel_size), tuple(stride), tuple(padding),
+              tuple(st.dims), tuple(target_dims), st.batch_size,
+              cdtype.name, "mul")
+    w, b = _pvary_params(w, b)
+    out = _pair_conv_core(
+        static, st.feats, w, target_valid, rows,
+        st.coords, st.batch, st.valid, target_coords, target_batch,
+    )
     if b is not None:
-        out = out + b
-    out = out * target_valid[:, None].astype(out.dtype)
+        out = out + b * target_valid[:, None].astype(out.dtype)
     return SparseTensor(
         feats=out,
         coords=target_coords,
