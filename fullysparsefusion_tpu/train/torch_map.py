@@ -64,6 +64,10 @@ def _to_flax(t: str, v: np.ndarray) -> np.ndarray:
         return np.ascontiguousarray(
             np.transpose(v, (1, 2, 3, 4, 0)).reshape(kz * ky * kx, cin, cout)
         )
+    if t == "conv2d":        # torch OIHW → flax HWIO
+        return np.ascontiguousarray(np.transpose(v, (2, 3, 1, 0)))
+    if t == "deconv2d":      # torch ConvTranspose2d [Cin,Cout,kh,kw] → [kh,kw,Cin,Cout]
+        return np.ascontiguousarray(np.transpose(v, (2, 3, 0, 1)))
     return np.asarray(v)
 
 
@@ -75,6 +79,10 @@ def _to_torch(t: str, v: np.ndarray, k: int = 3) -> np.ndarray:
         return np.ascontiguousarray(
             np.transpose(np.asarray(v).reshape(k, k, k, cin, cout), (4, 0, 1, 2, 3))
         )
+    if t == "conv2d":
+        return np.ascontiguousarray(np.transpose(np.asarray(v), (3, 2, 0, 1)))
+    if t == "deconv2d":
+        return np.ascontiguousarray(np.transpose(np.asarray(v), (2, 3, 0, 1)))
     return np.asarray(v)
 
 
@@ -256,6 +264,105 @@ def _zero_init_mlp(sub, base: Tuple[str, ...], prefix: str) -> List[Entry]:
 
 
 # ---------------------------------------------------------------------------
+# HTC (2D pre-inference model, models/htc.py ↔ mmdet HybridTaskCascade —
+# checkpoint layout of htc_x101_64x4d_fpn_dconv…nuim as listed by
+# tools/convert_checkpoint.py --list)
+
+def _conv2d(base: Tuple[str, ...], flax_name: str, prefix: str,
+            bias: bool = True) -> List[Entry]:
+    out = [Entry(f"{prefix}.weight", "params", base + (flax_name, "kernel"),
+                 "conv2d")]
+    if bias:
+        out.append(Entry(f"{prefix}.bias", "params",
+                         base + (flax_name, "bias"), "id"))
+    return out
+
+
+def _bn2d(base: Tuple[str, ...], flax_name: str, prefix: str) -> List[Entry]:
+    b = base + (flax_name,)
+    return [
+        Entry(f"{prefix}.weight", "params", b + ("scale",), "id"),
+        Entry(f"{prefix}.bias", "params", b + ("bias",), "id"),
+        Entry(f"{prefix}.running_mean", "batch_stats", b + ("mean",), "id"),
+        Entry(f"{prefix}.running_var", "batch_stats", b + ("var",), "id"),
+    ]
+
+
+def _fc(base: Tuple[str, ...], flax_name: str, prefix: str) -> List[Entry]:
+    return [
+        Entry(f"{prefix}.weight", "params", base + (flax_name, "kernel"), "T"),
+        Entry(f"{prefix}.bias", "params", base + (flax_name, "bias"), "id"),
+    ]
+
+
+def _htc_entries(params: Dict) -> List[Entry]:
+    e: List[Entry] = []
+    bb = params["backbone"]
+    e += _conv2d(("backbone",), "stem_conv", "backbone.conv1", bias=False)
+    e += _bn2d(("backbone",), "stem_bn", "backbone.bn1")
+    for name in sorted(k for k in bb if k.startswith("layer")):
+        s, b = name[len("layer"):].split("_")
+        t = f"backbone.layer{s}.{b}"
+        base = ("backbone", name)
+        blk = bb[name]
+        e += _conv2d(base, "conv1", f"{t}.conv1", bias=False)
+        e += _bn2d(base, "bn1", f"{t}.bn1")
+        if "kernel" in blk["conv2"]:   # plain grouped 3×3
+            e += _conv2d(base, "conv2", f"{t}.conv2", bias=False)
+        else:                           # DCN block
+            cb = base + ("conv2",)
+            e += [
+                Entry(f"{t}.conv2.weight", "params", cb + ("w",), "conv2d"),
+                Entry(f"{t}.conv2.conv_offset.weight", "params",
+                      cb + ("conv_offset_w",), "conv2d"),
+                Entry(f"{t}.conv2.conv_offset.bias", "params",
+                      cb + ("conv_offset_b",), "id"),
+            ]
+        e += _bn2d(base, "bn2", f"{t}.bn2")
+        e += _conv2d(base, "conv3", f"{t}.conv3", bias=False)
+        e += _bn2d(base, "bn3", f"{t}.bn3")
+        if "ds_conv" in blk:
+            e += _conv2d(base, "ds_conv", f"{t}.downsample.0", bias=False)
+            e += _bn2d(base, "ds_bn", f"{t}.downsample.1")
+    for i in range(4):
+        e += _conv2d(("neck",), f"lateral{i}", f"neck.lateral_convs.{i}.conv")
+    for i in range(4):
+        e += _conv2d(("neck",), f"fpn{i}", f"neck.fpn_convs.{i}.conv")
+    e += _conv2d(("rpn_head",), "rpn_conv", "rpn_head.rpn_conv")
+    e += _conv2d(("rpn_head",), "rpn_cls", "rpn_head.rpn_cls")
+    e += _conv2d(("rpn_head",), "rpn_reg", "rpn_head.rpn_reg")
+    for i in range(3):
+        hb = (f"bbox_head{i}",)
+        t = f"roi_head.bbox_head.{i}"
+        e += _fc(hb, "fc1", f"{t}.shared_fcs.0")
+        e += _fc(hb, "fc2", f"{t}.shared_fcs.1")
+        e += _fc(hb, "fc_cls", f"{t}.fc_cls")
+        e += _fc(hb, "fc_reg", f"{t}.fc_reg")
+    for i in range(3):
+        mb = (f"mask_head{i}",)
+        t = f"roi_head.mask_head.{i}"
+        if i > 0:
+            e += _conv2d(mb, "conv_res", f"{t}.conv_res.conv")
+        for j in range(4):
+            e += _conv2d(mb, f"conv{j}", f"{t}.convs.{j}.conv")
+        e += [
+            Entry(f"{t}.upsample.weight", "params", mb + ("upsample_w",),
+                  "deconv2d"),
+            Entry(f"{t}.upsample.bias", "params", mb + ("upsample_b",), "id"),
+        ]
+        e += _conv2d(mb, "conv_logits", f"{t}.conv_logits")
+    sb = ("semantic_head",)
+    t = "roi_head.semantic_head"
+    for i in range(5):
+        e += _conv2d(sb, f"lateral{i}", f"{t}.lateral_convs.{i}.conv")
+    for j in range(4):
+        e += _conv2d(sb, f"conv{j}", f"{t}.convs.{j}.conv")
+    e += _conv2d(sb, "conv_embedding", f"{t}.conv_embedding.conv")
+    e += _conv2d(sb, "conv_logits", f"{t}.conv_logits")
+    return e
+
+
+# ---------------------------------------------------------------------------
 # model-level enumeration
 
 def build_entries(params: Dict, model: str = "fsf") -> List[Entry]:
@@ -315,6 +422,8 @@ def build_entries(params: Dict, model: str = "fsf") -> List[Entry]:
                 e += _cluster_head(sub["bbox_head"], b + ("bbox_head",), "bbox_head")
             else:
                 raise KeyError(f"no torch mapping for FSD module {group!r}")
+    elif model == "htc":
+        e += _htc_entries(params)
     else:
         raise ValueError(model)
     return e

@@ -47,6 +47,18 @@ def build_skeleton(model_name: str, config_path: str | None, tiny: bool):
         fsf_cfg = load_fsf_config(config_path)
         fsd_cfg = fsf_cfg.fsd
 
+    if model_name == "htc":
+        # shapes are resolution-independent; init at a small canvas
+        from fullysparsefusion_tpu.models.htc import HTC
+
+        model = HTC()
+        import jax.numpy as jnp
+
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, dummy), jax.random.key(0))
+        return {k: dict(v) if hasattr(v, "items") else v
+                for k, v in shapes.items()}
     if model_name == "fsf":
         from fullysparsefusion_tpu.models.fsf import FSF
 
@@ -77,7 +89,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pth", help=".pth checkpoint to convert")
     ap.add_argument("--export", help="converted-vars pickle to export back to torch layout")
-    ap.add_argument("--model", default="fsd", choices=["fsd", "fsf"])
+    ap.add_argument("--model", default="fsd", choices=["fsd", "fsf", "htc"])
     ap.add_argument("--config", help="reference config file (model shapes)")
     ap.add_argument("--tiny", action="store_true", help="tiny test config shapes")
     ap.add_argument("--list", action="store_true", help="print checkpoint keys and exit")

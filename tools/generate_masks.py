@@ -163,10 +163,82 @@ def backend_torch_maskrcnn(images, score_thr=0.3, class_map=None, weights="DEFAU
     return out
 
 
+_JAX_HTC = None
+
+
+def backend_jax_htc(images, score_thr=0.3, weights=None):
+    """The phase-2 native backend: models/htc.py (JAX HTC-X101-DCN port of
+    the reference's save_mask_nusc.py model). ``weights`` is a converted
+    variables pickle from `convert_checkpoint.py --model htc`; None runs
+    random init (pipeline smoke in weightless environments).
+
+    images: list of [H, W, 3] uint8 per camera → detection dicts with
+    full-canvas boolean masks.
+    """
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from fullysparsefusion_tpu.models.htc import HTC, NUIM_CLASSES
+
+    global _JAX_HTC
+    h, w = images[0].shape[:2]
+    hp, wp = -(-h // 32) * 32, -(-w // 32) * 32
+    if _JAX_HTC is None:
+        if os.environ.get("FSF_HTC_TINY"):
+            # plumbing smoke tests: 4-block backbone, small candidate sets
+            model = HTC(num_proposals=64, rpn_pre_nms=64, max_dets=8,
+                        depth_blocks=(1, 1, 1, 1))
+        else:
+            model = HTC()
+        if weights and weights not in ("none", "DEFAULT"):
+            import pickle
+
+            with open(weights, "rb") as f:
+                vars_ = pickle.load(f)
+        else:
+            vars_ = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, hp, wp, 3), jnp.float32))
+        apply = jax.jit(lambda v, im: model.apply(v, im))
+        _JAX_HTC = (vars_, apply)
+    vars_, apply = _JAX_HTC
+    nuim_to_nusc = [NUSC_CLASSES.index(n) for n in NUIM_CLASSES]
+
+    out = []
+    for cam_id, img in enumerate(images):
+        pad = np.zeros((hp, wp, 3), np.float32)
+        pad[:h, :w] = img
+        (det,) = apply(vars_, jnp.asarray(pad)[None])
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        labels = np.asarray(det.labels)
+        probs = np.asarray(det.masks)
+        valid = np.asarray(det.valid)
+        for j in range(len(scores)):
+            if not valid[j] or scores[j] < score_thr:
+                continue
+            x1, y1, x2, y2 = boxes[j]
+            bw = max(int(round(x2 - x1)), 1)
+            bh = max(int(round(y2 - y1)), 1)
+            m28 = Image.fromarray((probs[j] * 255).astype(np.uint8))
+            mbox = np.asarray(m28.resize((bw, bh), Image.BILINEAR)) > 127
+            full = np.zeros((h, w), bool)
+            yy, xx = int(round(y1)), int(round(x1))
+            sub = mbox[: max(0, h - yy), : max(0, w - xx)]
+            full[yy:yy + sub.shape[0], xx:xx + sub.shape[1]] = sub
+            out.append(dict(
+                cam_id=cam_id, category=nuim_to_nusc[int(labels[j])],
+                score=float(scores[j]),
+                bbox=[float(v) for v in boxes[j]], mask=full,
+            ))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="random",
-                    choices=["random", "torch-maskrcnn", "precomputed"])
+                    choices=["random", "torch-maskrcnn", "jax-htc",
+                             "precomputed"])
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--tokens", nargs="+", default=None,
                     help="sample tokens (random/precomputed backends; "
@@ -197,15 +269,20 @@ def main():
         if args.max_samples:
             infos = infos[: args.max_samples]
 
-    if args.backend == "torch-maskrcnn":
-        assert infos is not None, "--info-pkl required for torch-maskrcnn"
+    if args.backend in ("torch-maskrcnn", "jax-htc"):
+        assert infos is not None, f"--info-pkl required for {args.backend}"
         for info in infos:
             token = info.get("token", "")
             images = load_sample_images(info, args.data_root)
             h, w = images[0].shape[:2]
-            dets = backend_torch_maskrcnn(
-                images, score_thr=args.score_thr, weights=args.weights
-            )
+            if args.backend == "jax-htc":
+                dets = backend_jax_htc(
+                    images, score_thr=args.score_thr, weights=args.weights
+                )
+            else:
+                dets = backend_torch_maskrcnn(
+                    images, score_thr=args.score_thr, weights=args.weights
+                )
             masks, annos = paint_sample(dets, len(images), args.num_classes, (h, w))
             save_sample(args.out_dir, token, masks, annos)
             print(f"{token}: {len(annos)} instances, {len(masks)} mask planes")
