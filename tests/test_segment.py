@@ -1,6 +1,7 @@
 """Oracle tests for segment ops against NumPy (SURVEY.md §4: every kernel gets
 a dense/NumPy oracle)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -93,3 +94,38 @@ def test_ingroup_indices_oracle():
         np.testing.assert_array_equal(np.sort(vals), np.arange(len(vals)))
         # stable: occurrence order preserved
         np.testing.assert_array_equal(vals, np.arange(len(vals)))
+
+
+def test_sorted_unsorted_segment_sum_matches_scatter():
+    from fullysparsefusion_tpu.ops.segment import (
+        sorted_unsorted_segment_sum, gather_rows,
+    )
+    rng = np.random.default_rng(0)
+    n, rows_n, c = 500, 37, 8
+    rows = jnp.asarray(rng.integers(0, rows_n + 3, (n,)), jnp.int32)  # some OOR
+    vals = jnp.asarray(rng.normal(size=(n, c)), jnp.float32)
+    out = sorted_unsorted_segment_sum(vals, rows, rows_n)
+    ref = jax.ops.segment_sum(vals, rows, num_segments=rows_n + 3)[:rows_n]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gather_rows_vjp_matches_autodiff():
+    from fullysparsefusion_tpu.ops.segment import gather_rows
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.normal(size=(50, 6)), jnp.float32)
+    rows = jnp.asarray(rng.integers(0, 50, (200,)), jnp.int32)
+    cot = jnp.asarray(rng.normal(size=(200, 6)), jnp.float32)
+
+    def f_custom(t):
+        return jnp.sum(gather_rows(t, rows) * cot)
+
+    def f_plain(t):
+        return jnp.sum(t[rows] * cot)
+
+    np.testing.assert_allclose(float(f_custom(table)), float(f_plain(table)),
+                               rtol=1e-6)
+    g1 = jax.grad(f_custom)(table)
+    g2 = jax.grad(f_plain)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
