@@ -43,6 +43,7 @@ def _enable_compile_cache():
 
 def build_bench_model():
     import jax
+    import jax.numpy as jnp
 
     _enable_compile_cache()
     from fullysparsefusion_tpu.config import (
@@ -50,26 +51,44 @@ def build_bench_model():
     )
     from fullysparsefusion_tpu.models.fsf import FSF
 
-    vox = int(os.environ.get("FSF_BENCH_VOXELS", 57344))
+    batch = int(os.environ.get("FSF_BENCH_BATCH", 1))
+    vox = int(os.environ.get("FSF_BENCH_VOXELS", 57344)) * batch
     caps = Capacities(
-        points=131072, voxels=vox, prevox=65536,
-        fg_per_group=4096, cluster_voxels_per_group=1024, clusters=1024,
-        max_gt=128, frustum_points=16384, frustum_objects=256,
-        roi_points=32768, max_roi_points=512,
+        points=131072 * batch, voxels=vox, prevox=65536 * batch,
+        fg_per_group=4096 * batch, cluster_voxels_per_group=1024 * batch,
+        clusters=1024 * batch,
+        max_gt=128, frustum_points=16384 * batch,
+        frustum_objects=256 * batch,
+        roi_points=32768 * batch, max_roi_points=512,
     )
     # per-stage active-set capacities from measured scan occupancy (+10%)
     seg = VoteSegmentorConfig(
-        unet_stage_capacities=(vox, 40960, 24576, 8192, 2560),
+        unet_stage_capacities=tuple(
+            c * batch for c in (57344, 40960, 24576, 8192, 2560)),
     )
     cfg = FSFConfig(fsd=FSDConfig(caps=caps, segmentor=seg))
 
     from fixtures import make_lidar_scene, make_camera_data, with_noaug_channels
+    from fullysparsefusion_tpu.utils.containers import PointBatch
 
-    pb, gt = make_lidar_scene(
-        seed=0, n_cap=caps.points, max_gt=caps.max_gt, n_boxes=32, extent=48.0,
+    per = 131072
+    pbs, gts = [], []
+    for b in range(batch):
+        pb_b, gt_b = make_lidar_scene(
+            seed=b, n_cap=per, max_gt=caps.max_gt, n_boxes=32, extent=48.0,
+        )
+        pbs.append(pb_b)
+        gts.append(gt_b)
+    pb = PointBatch(
+        points=jnp.concatenate([p.points for p in pbs]),
+        batch_idx=jnp.concatenate(
+            [p.batch_idx + b for b, p in enumerate(pbs)]),
+        valid=jnp.concatenate([p.valid for p in pbs]),
     )
+    gt = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs), *gts)
     cam = make_camera_data(
-        pb, gt, batch_size=1, num_cams=cfg.num_cams,
+        pb, gt, batch_size=batch, num_cams=cfg.num_cams,
         num_classes=cfg.num_classes, img_h=450, img_w=800, max_anno=250,
         fx=400.0,
     )
@@ -83,7 +102,7 @@ def build_bench_model():
         cam_cpu = jax.device_put(cam, cpu)
         vars_ = jax.jit(
             lambda k, p, c: FSF(cfg=cfg).init(
-                k, p, c, 1, None, None, False,
+                k, p, c, batch, None, None, False,
                 method=lambda m, *a, **k_: m(*a, **k_),
             )
         )(jax.random.key(0), pb_cpu, cam_cpu)
@@ -106,8 +125,9 @@ def measure_train_step(cfg, model, vars_, pb, cam):
     )
     from fullysparsefusion_tpu.utils.containers import GroundTruth
 
+    batch = int(os.environ.get("FSF_BENCH_BATCH", 1))
     _, gt = make_scene(
-        seed=1, batch_size=1, boxes_per_sample=32, pts_per_box=10,
+        seed=1, batch_size=batch, boxes_per_sample=32, pts_per_box=10,
         bg_points=100, n_cap=1024, max_gt=cfg.fsd.caps.max_gt, extent=45.0,
     )
     gt = jax.device_put(gt, jax.devices()[0])
@@ -120,7 +140,7 @@ def measure_train_step(cfg, model, vars_, pb, cam):
         params=vars_["params"], batch_stats=vars_["batch_stats"],
         opt_state=jax.device_put(opt_state, jax.devices()[0]),
     )
-    step = make_generic_train_step(fsf_forward_fn(model, 1), tx)
+    step = make_generic_train_step(fsf_forward_fn(model, batch), tx)
     try:
         t0 = time.time()
         state, loss, _ = step(state, pb, cam, gt, gt)
@@ -147,11 +167,13 @@ def main():
 
     cfg, model, vars_, pb, cam = build_bench_model()
 
+    batch = int(os.environ.get("FSF_BENCH_BATCH", 1))
+
     @jax.jit
     def fwd(vars_, pb, cam):
         # params as arguments — closed-over pytrees become HLO constants and
         # blow past the remote-compile request size limit
-        out = model.apply(vars_, pb, cam, 1, None, None, False)
+        out = model.apply(vars_, pb, cam, batch, None, None, False)
         fin = out["final"]
         return fin["cls_logits"], fin["reg_preds"], fin["centers"], fin["q_valid"]
 
@@ -166,7 +188,7 @@ def main():
         out = fwd(vars_, pb, cam)
     np.asarray(out[0][:1])
     dt = (time.time() - t0) / n_iter
-    fps = 1.0 / dt
+    fps = batch / dt  # frames (samples) per second per chip
 
     extra = {}
     if os.environ.get("FSF_BENCH_TRAIN"):
@@ -186,7 +208,8 @@ def main():
                     "ms_per_frame": round(dt * 1000, 1),
                     "compile_s": round(compile_s, 1),
                     "device": str(jax.devices()[0]),
-                    "points_capacity": 131072,
+                    "points_capacity": 131072 * batch,
+                    "batch": batch,
                     "queries": int(cfg.caps.frustum_objects + cfg.caps.clusters),
                     **extra,
                 },

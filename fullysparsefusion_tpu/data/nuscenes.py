@@ -157,8 +157,22 @@ class NuScenesReader:
         if "gt_velocity" in info and len(gt_boxes):
             vel = np.nan_to_num(np.asarray(info["gt_velocity"], np.float32))
             gt_boxes = np.concatenate([gt_boxes[:, :7], vel], 1)
+        # optional attribute ids for AAE-complete evaluation: plain mmdet3d
+        # infos don't store them; extended pickles may carry ids
+        # ("gt_attrs") or devkit names ("gt_attribute_names")
+        gt_attrs = None
+        if "gt_attrs" in info:
+            gt_attrs = np.asarray(info["gt_attrs"], np.int32)
+        elif "gt_attribute_names" in info:
+            from ..eval.detection import ATTR_ID
+
+            gt_attrs = np.asarray(
+                [ATTR_ID.get(n, -1) for n in info["gt_attribute_names"]],
+                np.int32)
         keep = gt_labels >= 0
         gt_boxes, gt_labels = gt_boxes[keep], gt_labels[keep]
+        if gt_attrs is not None:
+            gt_attrs = gt_attrs[keep]
 
         points = P.normalize_intensity(points, dim=3)
         points = P.save_noaug_channels(points)
@@ -184,15 +198,25 @@ class NuScenesReader:
             gt_boxes = P.apply_boxes_transform(gt_boxes, tp)
         points = P.filter_points_range(points, self.point_cloud_range)
         r = self.point_cloud_range
-        gt_boxes, gt_labels, (no_aug_gt,) = P.filter_boxes_range(
-            gt_boxes, gt_labels, (r[0], r[1], r[3], r[4]), [no_aug_gt]
+        if gt_attrs is not None and len(gt_attrs) < len(gt_boxes):
+            # GT-paste appended boxes with no attribute annotation
+            gt_attrs = np.concatenate([
+                gt_attrs,
+                np.full(len(gt_boxes) - len(gt_attrs), -1, np.int32)])
+        aux = [no_aug_gt] + ([gt_attrs] if gt_attrs is not None else [])
+        gt_boxes, gt_labels, aux = P.filter_boxes_range(
+            gt_boxes, gt_labels, (r[0], r[1], r[3], r[4]), aux
         )
+        no_aug_gt = aux[0]
+        if gt_attrs is not None:
+            gt_attrs = aux[1]
         if self.training:
             points = P.shuffle_points(points, self.rng)
         return dict(
             points=points,
             gt_boxes=gt_boxes,
             gt_labels=gt_labels,
+            gt_attrs=gt_attrs,
             no_aug_gt_boxes=no_aug_gt,
             token=info.get("token", ""),
             lidar2img=np.asarray(info["lidar2img"], np.float32)

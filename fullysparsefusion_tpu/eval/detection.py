@@ -18,9 +18,13 @@ framework carries its own implementation of the published protocol
     recall axis and averaged over [0.1, max_recall]. ATE (BEV translation),
     ASE (1 − aligned 3D IoU), AOE (yaw diff; period π for barrier; skipped
     for traffic_cone), AVE (velocity L2; skipped for cone+barrier);
-  * NDS = (5·mAP + Σ_tp max(0, 1 − err/norm)) / (5 + n_tp). AAE needs
-    attribute predictions the model doesn't produce; it is excluded from
-    the denominator rather than faked.
+  * NDS = (5·mAP + Σ_tp max(0, 1 − err/norm)) / (5 + n_tp). AAE (attribute
+    error, 1 − classification accuracy over matches) participates when
+    records carry attribute ids for BOTH predictions and GT; the standard
+    mmdet3d velocity heuristic that synthesizes prediction attributes is
+    ``default_attributes``. Without GT attributes (the plain mmdet3d info
+    pickles don't store them) AAE is excluded from the denominator rather
+    than faked.
 """
 from __future__ import annotations
 
@@ -34,7 +38,52 @@ TP_THRESHOLD = 2.0
 MIN_RECALL = 0.1
 MIN_PRECISION = 0.1
 # nuScenes normalizers for TP errors
-TP_NORMS = {"ate": 0.5, "ase": 0.5, "aoe": np.pi / 2, "ave": 1.0}
+TP_NORMS = {"ate": 0.5, "ase": 0.5, "aoe": np.pi / 2, "ave": 1.0, "aae": 1.0}
+
+# devkit attribute vocabulary; ids index this tuple
+ATTRIBUTES = (
+    "cycle.with_rider", "cycle.without_rider", "pedestrian.moving",
+    "pedestrian.standing", "pedestrian.sitting_lying_down",
+    "vehicle.moving", "vehicle.parked", "vehicle.stopped",
+)
+ATTR_ID = {n: i for i, n in enumerate(ATTRIBUTES)}
+# classes with no attributes (devkit skips AAE for them)
+NO_ATTR_CLASSES = ("traffic_cone", "barrier")
+# mmdet3d NuScenesDataset.DefaultAttribute
+DEFAULT_ATTR = {
+    "car": "vehicle.parked", "pedestrian": "pedestrian.moving",
+    "trailer": "vehicle.parked", "truck": "vehicle.parked",
+    "bus": "vehicle.moving", "motorcycle": "cycle.without_rider",
+    "construction_vehicle": "vehicle.parked",
+    "bicycle": "cycle.without_rider",
+}
+_VEHICLES = ("car", "construction_vehicle", "bus", "truck", "trailer")
+
+
+def default_attributes(
+    boxes: np.ndarray, labels: np.ndarray, class_names: Sequence[str],
+    speed_thresh: float = 0.2,
+) -> np.ndarray:
+    """mmdet3d ``_format_bbox`` attribute heuristic → attr ids (−1 = none).
+
+    Moving vehicles (BEV speed > 0.2 m/s) → 'vehicle.moving'; moving
+    cycles → 'cycle.with_rider'; otherwise the class default.
+    """
+    out = np.full(len(labels), -1, np.int32)
+    speed = (np.hypot(boxes[:, 7], boxes[:, 8])
+             if boxes.shape[1] >= 9 else np.zeros(len(labels)))
+    for i, (l, s) in enumerate(zip(labels, speed)):
+        name = class_names[int(l)] if 0 <= int(l) < len(class_names) else ""
+        if name in NO_ATTR_CLASSES or name not in DEFAULT_ATTR:
+            continue
+        if s > speed_thresh:
+            attr = ("vehicle.moving" if name in _VEHICLES
+                    else "cycle.with_rider" if name in ("bicycle", "motorcycle")
+                    else DEFAULT_ATTR[name])
+        else:
+            attr = DEFAULT_ATTR[name]
+        out[i] = ATTR_ID[attr]
+    return out
 # devkit class_range (eval/detection/configs/detection_cvpr_2019.json)
 CLASS_RANGES = {
     "car": 50.0, "truck": 50.0, "bus": 50.0, "trailer": 50.0,
@@ -54,6 +103,10 @@ class DetectionRecord:
     labels: np.ndarray
     gt_boxes: np.ndarray
     gt_labels: np.ndarray
+    # optional attribute ids (index into ATTRIBUTES, −1 = none); AAE joins
+    # the TP metrics only when both sides are present
+    attrs: Optional[np.ndarray] = None
+    gt_attrs: Optional[np.ndarray] = None
 
 
 def _aligned_iou_3d(a: np.ndarray, b: np.ndarray) -> float:
@@ -79,30 +132,36 @@ def _accumulate_class(
     GT in range.
     """
     max_range = CLASS_RANGES.get(class_name, DEFAULT_RANGE)
-    preds = []  # (score, sample_idx, box)
+    preds = []  # (score, sample_idx, box, pred attr id)
     n_gt = 0
-    gts, gidxs = [], []
+    gts, gidxs, gattrs = [], [], []
     for si, r in enumerate(records):
         m = r.labels == cls
-        for b, s in zip(r.boxes[m], r.scores[m]):
+        pa = (r.attrs[m] if r.attrs is not None
+              else np.full(int(m.sum()), -1, np.int32))
+        for b, s, a in zip(r.boxes[m], r.scores[m], pa):
             if np.hypot(b[0], b[1]) <= max_range:  # devkit range filter
-                preds.append((float(s), si, b))
+                preds.append((float(s), si, b, int(a)))
         gm = r.gt_labels == cls
         gt = r.gt_boxes[gm]
+        ga = (r.gt_attrs[gm] if r.gt_attrs is not None
+              else np.full(int(gm.sum()), -1, np.int32))
         in_range = np.hypot(gt[:, 0], gt[:, 1]) <= max_range if len(gt) else np.zeros(0, bool)
         gts.append(gt[in_range])
         gidxs.append(np.where(gm)[0][in_range])
+        gattrs.append(np.asarray(ga)[in_range])
         n_gt += int(in_range.sum())
     if n_gt == 0:
         return None
+    metrics = ("ate", "ase", "aoe", "ave", "aae")
     if not preds:
-        return 0.0, {k: ([], []) for k in ("ate", "ase", "aoe", "ave")}
+        return 0.0, {k: ([], []) for k in metrics}
     preds.sort(key=lambda x: -x[0])
     taken = [set() for _ in records]
     tp, fp = [], []
-    # each metric: (values, recall level at its own match events) — AOE/AVE
-    # skip classes/boxes, so recalls are tracked per metric
-    errs = {k: ([], []) for k in ("ate", "ase", "aoe", "ave")}
+    # each metric: (values, recall level at its own match events) — AOE/AVE/
+    # AAE skip classes/boxes, so recalls are tracked per metric
+    errs = {k: ([], []) for k in metrics}
 
     def push(key, val, rec):
         errs[key][0].append(val)
@@ -110,7 +169,7 @@ def _accumulate_class(
 
     aoe_period = np.pi if class_name == "barrier" else 2 * np.pi
     n_tp = 0
-    for score, si, box in preds:
+    for score, si, box, pattr in preds:
         gt = gts[si]
         gidx = gidxs[si]
         best, best_d = -1, dist_th
@@ -134,6 +193,11 @@ def _accumulate_class(
             if (class_name not in ("traffic_cone", "barrier")
                     and len(box) >= 9 and len(g) >= 9):
                 push("ave", float(np.hypot(box[7] - g[7], box[8] - g[8])), rec)
+            gattr = int(gattrs[si][best]) if len(gattrs[si]) else -1
+            if (class_name not in NO_ATTR_CLASSES
+                    and pattr >= 0 and gattr >= 0):
+                # devkit attr_acc: 1 − accuracy over matches
+                push("aae", 0.0 if pattr == gattr else 1.0, rec)
         else:
             tp.append(0.0)
             fp.append(1.0)

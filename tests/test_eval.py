@@ -159,3 +159,43 @@ def test_av2_cds_perfect_and_degraded():
     assert m2["CDS"] < m2["mAP"], m2
     for v in m2["per_class"].values():
         assert 0.5 < v["ATE"] < 0.8
+
+
+def test_attribute_error_joins_nds():
+    """AAE (devkit attr_err) participates only when both sides carry
+    attribute ids; 50% wrong attributes → AAE 0.5 and a lower NDS."""
+    from fullysparsefusion_tpu.eval.detection import ATTR_ID
+
+    recs_plain, recs_attr = [], []
+    for s in range(2):
+        b, l = _scene(s, n=8)
+        ga = np.full(len(l), ATTR_ID["vehicle.parked"], np.int32)
+        pa = ga.copy()
+        pa[: len(pa) // 2] = ATTR_ID["vehicle.moving"]  # half wrong
+        kw = dict(boxes=b, scores=np.linspace(0.9, 0.5, len(b)).astype(np.float32),
+                  labels=l, gt_boxes=b, gt_labels=l)
+        recs_plain.append(DetectionRecord(**kw))
+        recs_attr.append(DetectionRecord(**kw, attrs=pa, gt_attrs=ga))
+    m0 = evaluate_detections(recs_plain, 3, ["car", "truck", "bus"])
+    m1 = evaluate_detections(recs_attr, 3, ["car", "truck", "bus"])
+    assert "AAE" not in m0["tp_errors"]
+    assert 0.2 < m1["tp_errors"]["AAE"] < 0.8, m1
+    assert m1["NDS"] < m0["NDS"]  # the error term drags the composite down
+
+
+def test_default_attribute_heuristic():
+    from fullysparsefusion_tpu.eval.detection import (
+        default_attributes, ATTR_ID,
+    )
+
+    names = ["car", "bicycle", "pedestrian", "traffic_cone"]
+    boxes = np.zeros((4, 9), np.float32)
+    boxes[0, 7] = 3.0   # moving car
+    boxes[1, 7] = 1.0   # moving bicycle
+    # pedestrian + cone stationary
+    labels = np.asarray([0, 1, 2, 3], np.int32)
+    a = default_attributes(boxes, labels, names)
+    assert a[0] == ATTR_ID["vehicle.moving"]
+    assert a[1] == ATTR_ID["cycle.with_rider"]
+    assert a[2] == ATTR_ID["pedestrian.moving"]
+    assert a[3] == -1  # no attributes for cones

@@ -240,10 +240,20 @@ def main():
                  labels=labels.tolist())
         )
         if args.eval:
+            from fullysparsefusion_tpu.eval.detection import default_attributes
+
+            # mmdet3d velocity heuristic supplies prediction attributes; AAE
+            # joins NDS only when the dataset pickles carry GT attribute ids
+            gt_attrs = s.get("gt_attrs")
+            attrs = (default_attributes(boxes, labels, cfg.class_names)
+                     if gt_attrs is not None else None)
             records.append(
                 DetectionRecord(
                     boxes=boxes, scores=scores, labels=labels,
                     gt_boxes=s["gt_boxes"], gt_labels=s["gt_labels"],
+                    attrs=attrs,
+                    gt_attrs=(np.asarray(gt_attrs, np.int32)
+                              if gt_attrs is not None else None),
                 )
             )
     dt = (time.time() - t0) / max(len(own), 1)
