@@ -9,5 +9,5 @@
 #   ./tools/launch_train.sh CONFIG INFO_PKL DATA_ROOT [extra args...]
 set -euo pipefail
 CONFIG=$1; INFO=$2; ROOT=$3; shift 3
-exec python "$(dirname "$0")/train.py" \
+exec python "$(dirname "$0")/train.py" --multihost \
     --config "$CONFIG" --info-pkl "$INFO" --data-root "$ROOT" "$@"

@@ -66,6 +66,11 @@ def parse_args():
                    help="turn GT-paste off from this step (DisableAugmentationHook)")
     p.add_argument("--no-shard", action="store_true",
                    help="force the single-jit step even on multi-device hosts")
+    p.add_argument("--multihost", action="store_true",
+                   help="TPU-pod multi-process run: jax.distributed.initialize "
+                        "+ per-process dataset striding (reference "
+                        "dist_train.sh / DistributedSampler surface); launch "
+                        "one process per host via tools/launch_train.sh")
     p.add_argument("--cpu", action="store_true", help="force host CPU backend")
     return p.parse_args()
 
@@ -85,6 +90,11 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        # must run before any backend-initializing jax call; on TPU pods
+        # coordinator/process env is discovered from the TPU runtime
+        import jax
+        jax.distributed.initialize()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -176,6 +186,15 @@ def main():
             mask_downsample=args.mask_downsample,
             num_mask_classes=len(cfg.class_names),
         )
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            # per-process dataset stride (reference DistributedSampler:
+            # rank takes idx % world) and a LOCAL slice of the global batch;
+            # device_put with the dp sharding assembles the global array
+            # from each host's shard
+            assert batch_size % n_proc == 0, (batch_size, n_proc)
+            reader._indices = reader._indices[jax.process_index()::n_proc]
+            batch_size //= n_proc
         steps_per_epoch = max(len(reader) // batch_size, 1)
         total_steps = args.max_steps or steps_per_epoch * args.epochs
         ds = args.mask_downsample
@@ -268,24 +287,39 @@ def main():
     # data-parallel shard_map step whenever >1 device is visible (the
     # reference's DDP surface, dist_train.sh); single-jit otherwise
     n_dev = jax.device_count()
-    shard = (not args.no_shard) and n_dev > 1 and batch_size % n_dev == 0
+    n_proc = jax.process_count()
+    global_batch = batch_size * n_proc  # batch_size is per-process local
+    shard = (not args.no_shard) and n_dev > 1 and global_batch % n_dev == 0
     if shard:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
         mesh = Mesh(np.array(jax.devices()), ("dp",))
         data_sharding = NamedSharding(mesh, P("dp"))
-        per_dev = batch_size // n_dev
+        per_dev = global_batch // n_dev
         if use_fsf:
             step_fn = make_fsf_sharded_train_step(model, tx, mesh, per_dev)
         else:
             step_fn = make_sharded_train_step(model, tx, mesh, per_dev)
 
-        def put(batch):
-            return tuple(
-                jax.tree_util.tree_map(lambda x: jax.device_put(x, data_sharding), t)
-                for t in batch
-            )
-        print(f"data-parallel over {n_dev} devices ({per_dev}/device)")
+        if n_proc > 1:
+            # multi-controller: each host contributes its local slice of the
+            # globally-sharded batch arrays
+            def put(batch):
+                return tuple(
+                    jax.tree_util.tree_map(
+                        lambda x: jax.make_array_from_process_local_data(
+                            data_sharding, np.asarray(x)), t)
+                    for t in batch
+                )
+        else:
+            def put(batch):
+                return tuple(
+                    jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, data_sharding), t)
+                    for t in batch
+                )
+        print(f"data-parallel over {n_dev} devices x {n_proc} hosts "
+              f"({per_dev}/device)")
     else:
         if use_fsf:
             step_fn = make_generic_train_step(fsf_forward_fn(model, batch_size), tx)
