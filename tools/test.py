@@ -32,7 +32,7 @@ def parse_args():
     p.add_argument("--eval-protocol", default="nuscenes", choices=["nuscenes", "av2"],
                    help="nuScenes mAP/NDS or AV2 AP/CDS")
     p.add_argument("--max-samples", type=int, default=0)
-    p.add_argument("--model", default="fsd", choices=["fsd", "fsf"])
+    p.add_argument("--model", default="fsd", choices=["fsd", "fsd2", "fsf"])
     p.add_argument("--tiny", action="store_true",
                    help="use the tiny test config instead of the file config (CI)")
     p.add_argument("--mask-dir", help="pre-computed 2D instance masks (FSF mode)")
@@ -52,6 +52,20 @@ def parse_args():
     return p.parse_args()
 
 
+
+
+def _build_lidar_model(args, cfg):
+    """fsd = single-stage; fsd2 = + GroupCorrectionHead second stage
+    (reference two-stage FSD config surface, fsd_roi_head.py)."""
+    if args.model == "fsd2":
+        from fullysparsefusion_tpu.models.two_stage import TwoStageFSD
+
+        return TwoStageFSD(cfg=cfg)
+    from fullysparsefusion_tpu.models.fsd import SingleStageFSD
+
+    return SingleStageFSD(cfg=cfg)
+
+
 def main():
     args = parse_args()
     if args.cpu:
@@ -68,7 +82,7 @@ def main():
         from fixtures import make_scene
 
         cfg = tiny_fsd_config()
-        model = SingleStageFSD(cfg=cfg)
+        model = _build_lidar_model(args, cfg)
         pb, gt = make_scene(seed=0, n_cap=cfg.caps.points, max_gt=cfg.caps.max_gt)
         vars_ = jax.jit(
             lambda k: model.init(
@@ -77,7 +91,7 @@ def main():
         )(jax.random.key(0))
         fwd = jax.jit(lambda pb: model.apply(vars_, pb, 2, None, False))
         out = fwd(pb)
-        res = model.apply(vars_, out, 2, method=SingleStageFSD.get_bboxes)
+        res = model.apply(vars_, out, 2, method=type(model).get_bboxes)
         n = int(res.valid.sum())
         print(json.dumps({"mode": "synthetic", "detections": n}))
         return
@@ -106,7 +120,7 @@ def main():
         assert args.mask_dir, "--mask-dir required for --model fsf"
         model = FSF(cfg=fsf_cfg)
     else:
-        model = SingleStageFSD(cfg=cfg)
+        model = _build_lidar_model(args, cfg)
     reader = NuScenesReader(
         info_path=args.info_pkl, data_root=args.data_root,
         class_names=cfg.class_names, training=False, with_cbgs=False,
@@ -170,7 +184,7 @@ def main():
             res = model.apply(vars_, out, 1, method=type(model).get_bboxes)
         else:
             out = fwd(vars_, pb)
-            res = model.apply(vars_, out, 1, method=SingleStageFSD.get_bboxes)
+            res = model.apply(vars_, out, 1, method=type(model).get_bboxes)
         v = np.asarray(res.valid[0])
         return (np.asarray(res.boxes[0])[v], np.asarray(res.scores[0])[v],
                 np.asarray(res.labels[0])[v])

@@ -42,7 +42,7 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true", help="synthetic-scene smoke run")
     p.add_argument("--tiny", action="store_true",
                    help="use the tiny test config instead of the file config (CI)")
-    p.add_argument("--model", default="fsd", choices=["fsd", "fsf"],
+    p.add_argument("--model", default="fsd", choices=["fsd", "fsd2", "fsf"],
                    help="fsd = LiDAR-only; fsf = full fusion (needs --mask-dir on real data)")
     p.add_argument("--log-interval", type=int, default=20)
     p.add_argument("--ckpt-interval", type=int, default=1000)
@@ -83,6 +83,20 @@ def _parse_paste_max(spec: str, num_classes: int):
             out[int(k)] = int(v)
         return out
     return {c: int(spec) for c in range(num_classes)}
+
+
+
+
+def _build_lidar_model(args, cfg):
+    """fsd = single-stage; fsd2 = + GroupCorrectionHead second stage
+    (reference two-stage FSD config surface, fsd_roi_head.py)."""
+    if args.model == "fsd2":
+        from fullysparsefusion_tpu.models.two_stage import TwoStageFSD
+
+        return TwoStageFSD(cfg=cfg)
+    from fullysparsefusion_tpu.models.fsd import SingleStageFSD
+
+    return SingleStageFSD(cfg=cfg)
 
 
 def main():
@@ -126,7 +140,7 @@ def main():
             model = FSF(cfg=fcfg)
         else:
             cfg = tiny_fsd_config()
-            model = SingleStageFSD(cfg=cfg)
+            model = _build_lidar_model(args, cfg)
         batch_size = 2
 
         def batch_iter():
@@ -167,7 +181,7 @@ def main():
             assert args.mask_dir, "--mask-dir required for --model fsf"
             model = FSF(cfg=fsf_cfg)
         else:
-            model = SingleStageFSD(cfg=cfg)
+            model = _build_lidar_model(args, cfg)
         batch_size = args.batch_size or jax.device_count()
         sampler = None
         if args.gt_db:
