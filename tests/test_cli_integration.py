@@ -88,7 +88,7 @@ def _build_fake_dataset(root, n_samples=2, img_h=64, img_w=96, num_cams=2):
     return info_path, mask_dir
 
 
-@pytest.mark.parametrize("model", ["fsd", "fsf"])
+@pytest.mark.parametrize("model", ["fsd", "fsd2", "fsf"])
 def test_cli_end_to_end_on_fake_dataset(tmp_path, model):
     info_path, mask_dir = _build_fake_dataset(str(tmp_path))
     out_path = str(tmp_path / "dets.json")
