@@ -30,7 +30,7 @@ from ..config import HeadConfig, Capacities
 from ..core.coders import BasePointBBoxCoder
 from ..core import losses as L
 from ..ops.geometry import points_box_assignment_batched, corners_3d, boxes_iou_3d
-from ..ops.nms import multiclass_nms_bev, NMSResult
+from ..ops.nms import multiclass_nms_bev_batched, NMSResult
 from ..utils.containers import GroundTruth
 from .layers import MLP, mesh_mean
 
@@ -217,17 +217,16 @@ def cluster_head_get_bboxes(
     batch_size: int,
     cfg: HeadConfig,
 ) -> NMSResult:
-    """Decode + per-sample multiclass rotated NMS; stacked [B, max_num]."""
+    """Decode + per-sample multiclass rotated NMS; stacked [B, max_num].
+
+    The whole batch shares one suppression pass (cross-sample IoU zeroed) —
+    see ops.nms.multiclass_nms_bev_batched — so inference cost no longer
+    replicates the [C, C] IoU matrix and NMS scans per sample.
+    """
     coder = BasePointBBoxCoder(cfg.code_size)
     boxes = coder.decode(reg_preds, cluster_xyz)
     scores = jax.nn.sigmoid(cls_logits)
-
-    results = []
-    for bi in range(batch_size):
-        mask = cluster_valid & (cluster_batch == bi)
-        results.append(
-            multiclass_nms_bev(
-                boxes, scores, mask, cfg.nms_thr, cfg.score_thr, cfg.max_num
-            )
-        )
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *results)
+    return multiclass_nms_bev_batched(
+        boxes, scores, cluster_valid, cluster_batch, batch_size,
+        cfg.nms_thr, cfg.score_thr, cfg.max_num,
+    )

@@ -20,7 +20,7 @@ from ..config import Capacities, HeadConfig
 from ..core.coders import BasePointBBoxCoder
 from ..core import losses as L
 from ..ops.geometry import boxes_iou_3d
-from ..ops.nms import multiclass_nms_bev, NMSResult
+from ..ops.nms import multiclass_nms_bev_batched, NMSResult
 from ..utils.containers import GroundTruth
 from .layers import MLP, mesh_mean
 from .roi import extract_roi_points, FullySparseBboxHead
@@ -156,11 +156,7 @@ def rcnn_get_bboxes(
     boxes = coder.decode(outs["reg_preds"], rois[:, :3])
     scores = jax.nn.sigmoid(outs["cls_logits"])
     valid = outs["nonempty"]
-    results = [
-        multiclass_nms_bev(
-            boxes, scores, valid & (roi_batch == bi),
-            cfg.nms_thr, cfg.score_thr, cfg.max_num,
-        )
-        for bi in range(batch_size)
-    ]
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *results)
+    return multiclass_nms_bev_batched(
+        boxes, scores, valid, roi_batch, batch_size,
+        cfg.nms_thr, cfg.score_thr, cfg.max_num,
+    )

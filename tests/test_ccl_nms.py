@@ -141,3 +141,39 @@ def test_bbox_coder_roundtrip():
     dy = np.angle(np.exp(1j * (dec[:, 6] - boxes[:, 6])))
     np.testing.assert_allclose(dy, 0, atol=1e-4)
     np.testing.assert_allclose(dec[:, 7:9], boxes[:, 7:9], atol=1e-5)
+
+
+def test_batched_multiclass_nms_matches_per_sample_loop():
+    """One global suppression pass with cross-sample IoU zeroed must equal
+    the per-sample loop exactly (boxes of different samples are disjoint)."""
+    from fullysparsefusion_tpu.ops.nms import multiclass_nms_bev_batched
+
+    rng = np.random.default_rng(7)
+    n, n_cls, bsz = 96, 4, 3
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, :2] = rng.uniform(-20, 20, (n, 2))
+    boxes[:, 2] = rng.uniform(-2, 1, n)
+    boxes[:, 3:6] = rng.uniform(1.5, 6, (n, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    scores = rng.random((n, n_cls)).astype(np.float32)
+    valid = rng.random(n) > 0.15
+    batch_idx = rng.integers(0, bsz, n).astype(np.int32)
+
+    boxes_j, scores_j = jnp.asarray(boxes), jnp.asarray(scores)
+    valid_j, bidx_j = jnp.asarray(valid), jnp.asarray(batch_idx)
+
+    got = multiclass_nms_bev_batched(
+        boxes_j, scores_j, valid_j, bidx_j, bsz,
+        iou_thr=0.25, score_thr=0.1, max_num=32,
+    )
+    for bi in range(bsz):
+        ref = multiclass_nms_bev(
+            boxes_j, scores_j, valid_j & (bidx_j == bi),
+            iou_thr=0.25, score_thr=0.1, max_num=32,
+        )
+        np.testing.assert_array_equal(np.asarray(got.valid[bi]), np.asarray(ref.valid))
+        np.testing.assert_allclose(
+            np.asarray(got.scores[bi]), np.asarray(ref.scores), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got.labels[bi]), np.asarray(ref.labels))
+        np.testing.assert_allclose(
+            np.asarray(got.boxes[bi]), np.asarray(ref.boxes), atol=1e-6)
