@@ -31,14 +31,10 @@ A100_FPS_ESTIMATE = 10.0
 
 
 def _enable_compile_cache():
-    import jax
+    from fullysparsefusion_tpu.utils.cache import enable_compile_cache
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass  # older jax without the knobs
+    enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
 def build_bench_model():

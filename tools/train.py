@@ -113,6 +113,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from fullysparsefusion_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     from fullysparsefusion_tpu.config import tiny_fsd_config
     from fullysparsefusion_tpu.models.fsd import SingleStageFSD
     from fullysparsefusion_tpu.parallel import (
