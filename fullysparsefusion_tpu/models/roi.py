@@ -217,8 +217,11 @@ def extract_roi_points_grid(
     rank = ingroup_indices(flat_cell, flat_ok)
     keep = flat_ok & (rank >= 0) & (rank < kc)
     slot = jnp.where(keep, flat_cell * kc + rank, ncells * kc)
-    table = jnp.full((ncells * kc + 1,), q, jnp.int32)
-    table = table.at[slot].set(flat_roi, mode="drop")
+    # u16 table: the [N, kc] candidate gather cost scales with row bytes
+    # (same measured fact as ops/sparse_conv._table_dtype)
+    tdt = jnp.uint16 if q < 65536 else jnp.int32
+    table = jnp.full((ncells * kc + 1,), q, tdt)
+    table = table.at[slot].set(flat_roi.astype(tdt), mode="drop")
 
     # per-point candidate lookup + exact rotated test
     pcx = jnp.floor((xyz[:, 0] - bev_lo[0]) / cell).astype(jnp.int32)
@@ -229,7 +232,7 @@ def extract_roi_points_grid(
     cand = table[
         (pcell[:, None] * kc).clip(0, ncells * kc)
         + jnp.arange(kc, dtype=jnp.int32)[None]
-    ]                                                          # [N, kc]
+    ].astype(jnp.int32)                                        # [N, kc]
     cand_ok = (cand < q) & p_in[:, None]
     safe = cand.clip(0, q - 1)
     r = rois[safe]                                             # [N, kc, 7+]

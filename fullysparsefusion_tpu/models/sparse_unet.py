@@ -30,6 +30,8 @@ from ..ops.sparse_conv import (
     sparse_conv3d,
     sparse_conv3d_dense,
     sparse_inverse_conv3d,
+    _use_dense,
+    _x_triplet_table,
 )
 from .layers import MaskedBatchNorm
 
@@ -68,7 +70,9 @@ class _DownBlock(nn.Module):
     stride: Tuple[int, int, int] = (2, 2, 2)
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
+    def __call__(
+        self, st: SparseTensor, train: bool, src_t3: Optional[jax.Array] = None
+    ) -> SparseTensor:
         k3 = self.kernel_size[0] * self.kernel_size[1] * self.kernel_size[2]
         cin = st.feats.shape[-1]
         w = self.param(
@@ -84,7 +88,7 @@ class _DownBlock(nn.Module):
         else:
             out = sparse_conv3d(
                 st, w, None, self.kernel_size, self.stride, self.padding,
-                self.out_capacity, compute_dtype=jnp.bfloat16,
+                self.out_capacity, compute_dtype=jnp.bfloat16, src_t3=src_t3,
             )
         y = MaskedBatchNorm()(out.feats, out.valid, train)
         y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
@@ -98,7 +102,10 @@ class _UpBlock(nn.Module):
     stride: Tuple[int, int, int] = (2, 2, 2)
 
     @nn.compact
-    def __call__(self, st: SparseTensor, target: SparseTensor, train: bool) -> SparseTensor:
+    def __call__(
+        self, st: SparseTensor, target: SparseTensor, train: bool,
+        src_t3: Optional[jax.Array] = None,
+    ) -> SparseTensor:
         k3 = self.kernel_size[0] * self.kernel_size[1] * self.kernel_size[2]
         cin = st.feats.shape[-1]
         w = self.param(
@@ -118,6 +125,7 @@ class _UpBlock(nn.Module):
             self.stride,
             self.padding,
             compute_dtype=jnp.bfloat16,
+            src_t3=src_t3,
         )
         y = MaskedBatchNorm()(out.feats, out.valid, train)
         y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
@@ -151,9 +159,12 @@ class SparseUNet(nn.Module):
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False) -> jax.Array:
         cap0 = st.capacity
-        # one rulebook per stage, shared by every submanifold conv on that
-        # active set (encoder + decoder + final projection)
-        rulebooks = [build_subm_rulebook(st)]
+        # one x-triplet table + rulebook per stage, shared by every conv
+        # touching that active set: the stage's submanifold convs (encoder +
+        # decoder + final projection), the down-conv reading from it, and
+        # the up-conv writing from it (ops/sparse_conv._x_triplet_table)
+        t3s = [_x_triplet_table(st) if _use_dense(st) else None]
+        rulebooks = [build_subm_rulebook(st, t3=t3s[0])]
         st = _SubMBlock(self.base_channels, name="conv_input")(st, rulebooks[0], train)
 
         skips = []
@@ -170,8 +181,9 @@ class SparseUNet(nn.Module):
                         padding=tuple(self.encoder_strided_paddings[i - 1]),
                         out_capacity=out_cap,
                         name=f"enc{i}_down",
-                    )(st, train)
-                    rulebooks.append(build_subm_rulebook(st))
+                    )(st, train, src_t3=t3s[i - 1])
+                    t3s.append(_x_triplet_table(st) if _use_dense(st) else None)
+                    rulebooks.append(build_subm_rulebook(st, t3=t3s[i]))
                 else:
                     st = _SubMBlock(c, name=f"enc{i}_subm{j}")(st, rulebooks[i], train)
             skips.append(st)
@@ -190,7 +202,7 @@ class SparseUNet(nn.Module):
                 widths[-1],
                 padding=tuple(self.encoder_strided_paddings[enc_stage - 1]),
                 name=f"dec{d}_up",
-            )(y, target, train)
+            )(y, target, train, src_t3=t3s[enc_stage])
 
         # final merge with stage-0 skip and projection to output_channels
         merged = x.replace(feats=jnp.concatenate([x.feats, skips[0].feats], axis=1))

@@ -183,21 +183,39 @@ class Rulebook:
     hits: jax.Array  # [K³, cap] bool
 
 
-def _subm_rulebook_triplets(st: SparseTensor) -> Rulebook:
+def _table_dtype(capacity: int):
+    """uint16 when row+1 values fit — TPU gathers of the [cells, 3] triplet
+    table run ~1.8× faster at half the row bytes (measured 6.95 → 3.78 ms
+    at stage-0 scale; small-row gather cost scales with bytes)."""
+    return jnp.uint16 if capacity + 1 < 65536 else jnp.int32
+
+
+def _x_triplet_table(st: SparseTensor) -> jax.Array:
+    """[cells, 3] table: row r holds (+1)-encoded active rows of cells
+    (r−1, r, r+1). The grid is linearized x-fastest, so one row covers the
+    three dx taps of any 3³ kernel — shared by the submanifold rulebook and
+    the strided/inverse pair queries."""
+    nx, ny, nz = st.dims
+    cells = st.batch_size * nx * ny * nz
+    table = build_dense_table(st).astype(_table_dtype(st.capacity))
+    tp = jnp.concatenate([jnp.zeros((1,), table.dtype), table])
+    return jnp.stack([tp[:cells], tp[1:cells + 1], tp[2:cells + 2]], axis=1)
+
+
+def _subm_rulebook_triplets(
+    st: SparseTensor, t3: Optional[jax.Array] = None
+) -> Rulebook:
     """27-tap rulebook via x-triplet row gathers.
 
     The dense table is linearized x-fastest, so for each of the 9 (dy,dz)
     offsets the three dx∈{-1,0,1} taps are CONSECUTIVE table entries: one
-    gather of a 12-byte row replaces three scalar gathers (the scalar form
+    gather of a short row replaces three scalar gathers (the scalar form
     was the rulebook's bottleneck — same fix as the camera-mask lookup,
     ops/projection.py). Tap order matches _kernel_offsets (kx fastest).
     """
     nx, ny, nz = st.dims
-    cells = st.batch_size * nx * ny * nz
-    table = build_dense_table(st)                      # [cells + 1]
-    tp = jnp.concatenate([jnp.zeros((1,), table.dtype), table])
-    # t3[k] = (table[k-1], table[k], table[k+1])
-    t3 = jnp.stack([tp[:cells], tp[1:cells + 1], tp[2:cells + 2]], axis=1)
+    if t3 is None:
+        t3 = _x_triplet_table(st)
 
     oi = jnp.arange(3, dtype=jnp.int32) - 1
     dy, dz = jnp.meshgrid(oi, oi, indexing="ij")       # [3, 3]
@@ -214,7 +232,7 @@ def _subm_rulebook_triplets(st: SparseTensor) -> Rulebook:
     key = ((st.batch[None, :] * nz + zq.clip(0, nz - 1)) * ny
            + yq.clip(0, ny - 1)) * nx + x[None, :]     # [9, cap] center keys
     key = jnp.where(ok_yz, key, 0)
-    vals = t3[key]                                     # [9, cap, 3]
+    vals = t3[key].astype(jnp.int32)                   # [9, cap, 3]
     ok_x = jnp.stack([x - 1 >= 0, jnp.ones_like(x, bool), x + 1 < nx])  # [3, cap]
     hits = (vals > 0) & ok_yz[:, :, None] & ok_x.T[None, :, :]
     rows = jnp.where(hits, vals - 1, st.capacity)
@@ -225,10 +243,12 @@ def _subm_rulebook_triplets(st: SparseTensor) -> Rulebook:
 
 
 def build_subm_rulebook(
-    st: SparseTensor, kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    st: SparseTensor,
+    kernel_size: Tuple[int, int, int] = (3, 3, 3),
+    t3: Optional[jax.Array] = None,
 ) -> Rulebook:
     if kernel_size == (3, 3, 3) and _use_dense(st):
-        return _subm_rulebook_triplets(st)
+        return _subm_rulebook_triplets(st, t3)
     offsets = _kernel_offsets(kernel_size)
     center = tuple(k // 2 for k in kernel_size)
     offs = jnp.asarray(
@@ -551,16 +571,159 @@ def downsample_coords(
     return out_coords, bb.astype(jnp.int32), seg.seg_valid, out_dims
 
 
+def _pair_rows_mul_triplets(
+    t3, tgt_dims, batch_size, tgt_cap, coords, batch, valid, stride, padding
+):
+    """'mul'-mode rows via x-triplet gathers: q_k = c·s − p + o_k.
+
+    For each of the 9 (oy,oz) tap groups the three ox taps are consecutive
+    cells, so one triplet-row gather per group replaces 3 scalar lookups
+    (27×41k scalar gathers measured 9.4 ms vs ~2 ms this way)."""
+    nx, ny, nz = tgt_dims
+    bx = coords[:, 0] * stride[0] - padding[0]
+    by = coords[:, 1] * stride[1] - padding[1]
+    bz = coords[:, 2] * stride[2] - padding[2]
+    cxc = jnp.clip(bx + 1, 0, nx - 1)          # triplet-row center
+    # entry self-correction at the x=nx−1 edge; shift ≥ 2 ⇒ all x taps
+    # out of range (masked), so a plain bool select suffices. NO
+    # take_along_axis here — dynamic minor-dim indexing measured 2× the
+    # whole lookup's cost on TPU.
+    shifted = (bx + 1 - cxc) > 0               # [cap] bool
+    xs = jnp.stack([bx, bx + 1, bx + 2])        # [3, cap]
+    ok_x = (xs >= 0) & (xs < nx)
+    b_ok = (batch >= 0) & (batch < batch_size)
+    rows_all, hits_all = [], []
+    for oz in range(3):
+        zq = bz + oz
+        for oy in range(3):
+            yq = by + oy
+            ok_yz = (
+                valid & b_ok
+                & (yq >= 0) & (yq < ny) & (zq >= 0) & (zq < nz)
+            )
+            key = ((batch * nz + zq.clip(0, nz - 1)) * ny
+                   + yq.clip(0, ny - 1)) * nx + cxc
+            vals = t3[jnp.where(ok_yz, key, 0)].astype(jnp.int32)  # [cap, 3]
+            v = jnp.stack([
+                jnp.where(shifted, vals[:, min(ox + 1, 2)], vals[:, ox])
+                for ox in range(3)
+            ])                                                     # [3, cap]
+            hit = (v > 0) & ok_yz[None, :] & ok_x
+            rows_all.append(jnp.where(hit, v - 1, tgt_cap))
+            hits_all.append(hit)
+    return jnp.concatenate(rows_all), jnp.concatenate(hits_all)
+
+
+def _pair_rows_div_triplets(
+    t3, tgt_dims, batch_size, tgt_cap, coords, batch, valid, stride, padding
+):
+    """'div'-mode rows via x-triplet gathers: q_k = (c + p − o_k)/s exact.
+
+    For s=2, K=3 each axis has at most two candidate quotients {m−1, m}
+    with m = (c+p)>>1 and tap o hitting iff o ≡ (c+p) (mod 2). Four
+    (sy,sz)-combo gathers of triplet rows cover all 27 taps; per-tap
+    selection is an on-chip take_along_axis over the [cap, 12] gathered
+    values (27×57k scalar lookups measured 12.6 ms vs ~2 ms this way)."""
+    nx, ny, nz = tgt_dims
+    n_x = coords[:, 0] + padding[0]
+    n_y = coords[:, 1] + padding[1]
+    n_z = coords[:, 2] + padding[2]
+    m_x, par_x = n_x >> 1, n_x & 1
+    m_y, par_y = n_y >> 1, n_y & 1
+    m_z, par_z = n_z >> 1, n_z & 1
+    cxc = jnp.clip(m_x, 0, nx - 1)
+    shift = m_x - cxc                            # ≥0 (m_x ≥ 0 always)
+    b_ok = (batch >= 0) & (batch < batch_size)
+    vals4 = []
+    for sz in (0, 1):
+        zq = m_z - sz
+        for sy in (0, 1):
+            yq = m_y - sy
+            ok = (
+                valid & b_ok
+                & (yq >= 0) & (yq < ny) & (zq >= 0) & (zq < nz)
+            )
+            key = ((batch * nz + zq.clip(0, nz - 1)) * ny
+                   + yq.clip(0, ny - 1)) * nx + cxc
+            v = t3[jnp.where(ok, key, 0)].astype(jnp.int32)  # [cap, 3]
+            vals4.append(jnp.where(ok[:, None], v, 0))
+    # vals4[g] is [cap, 3] for combo g = sz·2 + sy. Per-tap selection is
+    # pure bool selects over static columns (NO take_along_axis — dynamic
+    # minor-dim indexing measured 2× the whole lookup's cost on TPU):
+    # parity bits pick the combo, e = 1 − s_x (+1 at the clipped x edge)
+    # picks the column.
+    shifted = shift > 0                          # [cap] bool
+
+    def pick3(vals, s_x):
+        # column e = 1 − s_x (+1 if shifted); s_x is per-voxel {0,1}
+        e0 = jnp.where(s_x == 0, vals[:, 1], vals[:, 0])   # unshifted
+        e1 = jnp.where(s_x == 0, vals[:, 2], vals[:, 1])   # shifted (+1)
+        return jnp.where(shifted, e1, e0)
+
+    rows_all, oks_all = [], []
+    for oz in range(3):
+        ok_pz = (oz & 1) == par_z
+        s_z = jnp.clip((oz - par_z) >> 1, 0, 1)
+        q_z = m_z - s_z
+        for oy in range(3):
+            ok_py = (oy & 1) == par_y
+            s_y = jnp.clip((oy - par_y) >> 1, 0, 1)
+            q_y = m_y - s_y
+            # combo select over the 4 gathered tables (s_z, s_y per-voxel)
+            v_z0 = jnp.where(s_y[:, None] == 0, vals4[0], vals4[1])
+            v_z1 = jnp.where(s_y[:, None] == 0, vals4[2], vals4[3])
+            vg = jnp.where(s_z[:, None] == 0, v_z0, v_z1)   # [cap, 3]
+            for ox in range(3):
+                ok_px = (ox & 1) == par_x
+                s_x = jnp.clip((ox - par_x) >> 1, 0, 1)
+                q_x = m_x - s_x
+                v = pick3(vg, s_x)
+                ok = (
+                    ok_px & ok_py & ok_pz & valid
+                    & (q_x >= 0) & (q_x < nx) & (q_y >= 0) & (q_y < ny)
+                    & (q_z >= 0) & (q_z < nz)
+                )
+                rows_all.append(v)
+                oks_all.append(ok)
+    v27 = jnp.stack(rows_all)                    # [27, cap]
+    hit = (v27 > 0) & jnp.stack(oks_all)
+    rows = jnp.where(hit, v27 - 1, tgt_cap)
+    return rows, hit
+
+
 def _pair_query_rows(
     coords, batch, valid, tgt_coords, tgt_batch, tgt_valid, tgt_dims,
-    batch_size, kernel_size, stride, padding, mode,
+    batch_size, kernel_size, stride, padding, mode, tgt_t3=None,
 ):
     """Per-tap row maps between a strided conv's two active sets.
 
     mode 'mul': query coord·s − pad + o_k (fine→coarse receptive field);
     mode 'div': query (coord + pad − o_k)/s with exact division. Misses
-    point at the target capacity (zero row).
-    """
+    point at the target capacity (zero row). The (3,3,3)/stride-2 case —
+    every strided/inverse conv in the UNet — goes through x-triplet table
+    gathers instead of 27 scalar lookups per query (see
+    _pair_rows_{mul,div}_triplets); pass ``tgt_t3`` to reuse the target
+    set's table across convs."""
+    tgt_cap = tgt_coords.shape[0]
+    tgt = SparseTensor(
+        feats=jnp.zeros((tgt_cap, 1), jnp.float32),
+        coords=tgt_coords, batch=tgt_batch, valid=tgt_valid,
+        dims=tgt_dims, batch_size=batch_size,
+    )
+    if (
+        tuple(kernel_size) == (3, 3, 3)
+        and tuple(stride) == (2, 2, 2)
+        and all(0 <= p <= 1 for p in padding)
+        and _use_dense(tgt)
+    ):
+        t3 = tgt_t3 if tgt_t3 is not None else _x_triplet_table(tgt)
+        fast = (_pair_rows_mul_triplets if mode == "mul"
+                else _pair_rows_div_triplets)
+        rows, hits = fast(
+            t3, tgt_dims, batch_size, tgt_cap, coords, batch, valid,
+            stride, padding,
+        )
+        return jnp.where(hits, rows, tgt_cap)
     offsets = jnp.asarray(_kernel_offsets(kernel_size), jnp.int32)
     k3 = offsets.shape[0]
     sv = jnp.asarray(stride, jnp.int32)
@@ -646,10 +809,12 @@ def sparse_conv3d(
     padding: Tuple[int, int, int],
     out_capacity: int,
     compute_dtype=None,
+    src_t3: Optional[jax.Array] = None,
 ) -> SparseTensor:
     """Regular (strided) sparse conv: generates a new active set.
 
-    out[y] = Σ_k in[y·s − p + k] @ w[k].
+    out[y] = Σ_k in[y·s − p + k] @ w[k]. ``src_t3`` reuses the input set's
+    x-triplet table (ops cost, built anyway for the stage's rulebook).
     """
     out_coords, out_batch, out_valid, out_dims = downsample_coords(
         st, kernel_size, stride, padding, out_capacity
@@ -658,6 +823,7 @@ def sparse_conv3d(
     rows = _pair_query_rows(
         out_coords, out_batch, out_valid, st.coords, st.batch, st.valid,
         st.dims, st.batch_size, kernel_size, stride, padding, "mul",
+        tgt_t3=src_t3,
     )
     static = (tuple(kernel_size), tuple(stride), tuple(padding),
               tuple(st.dims), tuple(out_dims), st.batch_size,
@@ -687,16 +853,19 @@ def sparse_inverse_conv3d(
     stride: Tuple[int, int, int],
     padding: Tuple[int, int, int],
     compute_dtype=None,
+    src_t3: Optional[jax.Array] = None,
 ) -> SparseTensor:
     """Inverse conv: upsample ``st`` onto a recorded finer active set.
 
     Inverts a paired strided conv: target t receives from coarse y where
     t = y·s − p + k  ⇔  y = (t + p − k)/s (exact division required).
+    ``src_t3`` reuses the coarse set's x-triplet table.
     """
     cdtype = jnp.dtype(compute_dtype or st.feats.dtype)
     rows = _pair_query_rows(
         target_coords, target_batch, target_valid, st.coords, st.batch,
         st.valid, st.dims, st.batch_size, kernel_size, stride, padding, "div",
+        tgt_t3=src_t3,
     )
     static = (tuple(kernel_size), tuple(stride), tuple(padding),
               tuple(st.dims), tuple(target_dims), st.batch_size,

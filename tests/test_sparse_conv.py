@@ -184,3 +184,44 @@ def test_dense_conv_path_matches_sparse():
     np.testing.assert_allclose(
         np.asarray(out_d.feats), np.asarray(out_s.feats), rtol=2e-2, atol=2e-2
     )
+
+
+@pytest.mark.parametrize("mode", ["mul", "div"])
+@pytest.mark.parametrize("padding", [(1, 1, 1), (0, 1, 1), (1, 0, 0)])
+def test_pair_query_triplet_fast_path_matches_generic(mode, padding):
+    """The x-triplet pair-query fast path (kernel 3³, stride 2) must agree
+    exactly with the generic per-tap lookup on random active sets."""
+    import fullysparsefusion_tpu.ops.sparse_conv as sc
+
+    rng = np.random.default_rng(11)
+    dims, bsz = (16, 12, 8), 2
+    nx, ny, nz = dims
+    n, m = 128, 96
+    coords = np.stack(
+        [rng.integers(0, nx, n), rng.integers(0, ny, n), rng.integers(0, nz, n)], 1
+    ).astype(np.int32)
+    batch = rng.integers(0, bsz, n).astype(np.int32)
+    valid = rng.random(n) > 0.2
+    key = ((batch * nz + coords[:, 2]) * ny + coords[:, 1]) * nx + coords[:, 0]
+    _, first = np.unique(key, return_index=True)
+    keep = np.zeros(n, bool)
+    keep[first] = True
+    valid &= keep
+    qc = np.stack(
+        [rng.integers(0, nx, m), rng.integers(0, ny, m), rng.integers(0, nz, m)], 1
+    ).astype(np.int32)
+    qb = rng.integers(0, bsz, m).astype(np.int32)
+    qv = rng.random(m) > 0.1
+    args = (
+        jnp.asarray(qc), jnp.asarray(qb), jnp.asarray(qv),
+        jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid),
+        dims, bsz, (3, 3, 3), (2, 2, 2), padding, mode,
+    )
+    fast = np.asarray(sc._pair_query_rows(*args))
+    orig = sc._use_dense
+    try:
+        sc._use_dense = lambda st: False  # force the generic sorted lookup
+        slow = np.asarray(sc._pair_query_rows(*args))
+    finally:
+        sc._use_dense = orig
+    np.testing.assert_array_equal(fast, slow)
