@@ -157,9 +157,10 @@ def per_point_class_scores(
     n, num_cams, num_cls = obj_ids.shape
     hits = (obj_ids > 0).sum(-1)                  # [N, cams]
     best_cam = jnp.argmax(hits, axis=1)           # [N]
-    per_cls = jnp.take_along_axis(
-        obj_ids, best_cam[:, None, None].repeat(num_cls, -1), axis=1
-    )[:, 0]                                        # [N, cls]
+    # one-hot select over the 6 cams — not take_along_axis (dynamic
+    # minor-dim indexing is ~10× slower on TPU; docs/performance.md)
+    oh = (jnp.arange(num_cams) == best_cam[:, None]).astype(obj_ids.dtype)
+    per_cls = jnp.einsum("nc,nck->nk", oh, obj_ids)  # [N, cls]
     b, a, d = cam.anno.shape
     flat_scores = cam.anno.reshape(b * a, d)[:, 4]
     ok = per_cls > 0

@@ -152,6 +152,8 @@ class FSF(nn.Module):
 
         # ① segmentation with image enhancement
         seg_feats, pt_valid = self.seg_core(pb_inner, train, batch_size)
+        if run_until == "core":   # profiling probe: segmentor core only
+            return dict(seg_feats=seg_feats, pt_valid=pt_valid)
         obj_ids = gather_point_instances(noaug_xyz, pb.batch_idx, pt_valid, cam)
         cls_scores_2d = per_point_class_scores(obj_ids, pb.batch_idx, cam)
         seg_feats = seg_feats + self.seg_enhance_mlp(cls_scores_2d, pt_valid, train)

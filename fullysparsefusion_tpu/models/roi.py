@@ -102,7 +102,12 @@ def extract_roi_points(
         cs, ci = top2(score, lambda i: gidx[i])
         cand_s = jnp.concatenate([top_s, cs], axis=1)     # [N, 4]
         cand_i = jnp.concatenate([top_i, ci], axis=1)
-        ms, mi = top2(cand_s, lambda i: jnp.take_along_axis(cand_i, i[:, None], 1)[:, 0])
+        cols4 = jax.lax.broadcasted_iota(jnp.int32, cand_i.shape, 1)
+        # one-hot row select, not take_along_axis (slow on TPU)
+        ms, mi = top2(
+            cand_s,
+            lambda i: jnp.sum(jnp.where(cols4 == i[:, None], cand_i, 0), axis=1),
+        )
         return (ms, mi), None
 
     # derive the init from a traced input so its sharding/varying axes match
@@ -252,10 +257,11 @@ def extract_roi_points_grid(
     i2 = jnp.argmax(masked, axis=1)
     s2 = jnp.max(masked, axis=1)
     top_scores = jnp.stack([s1, s2], axis=1)
-    top_idx = jnp.stack(
-        [jnp.take_along_axis(safe, i1[:, None], 1)[:, 0],
-         jnp.take_along_axis(safe, i2[:, None], 1)[:, 0]], axis=1
-    )
+    # one-hot row selects (not take_along_axis — slow dynamic minor-dim
+    # indexing on TPU)
+    idx1 = jnp.sum(jnp.where(cols == i1[:, None], safe, 0), axis=1)
+    idx2 = jnp.sum(jnp.where(cols == i2[:, None], safe, 0), axis=1)
+    top_idx = jnp.stack([idx1, idx2], axis=1)
     member_ok = top_scores > neg
     return _finalize_pairs(xyz, rois, member_ok, top_idx, extra, capacity, k)
 

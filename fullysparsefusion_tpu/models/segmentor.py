@@ -177,7 +177,9 @@ def segmentor_loss(
 
     votes = out["vote_preds"].reshape(-1, n_cls, 3)
     safe_lab = labels.clip(0, n_cls - 1)
-    picked = jnp.take_along_axis(votes, safe_lab[:, None, None].repeat(3, -1), axis=1)[:, 0]
+    # one-hot class select (not take_along_axis — slow on TPU)
+    oh = (jnp.arange(n_cls) == safe_lab[:, None]).astype(votes.dtype)
+    picked = jnp.einsum("nc,ncd->nd", oh, votes)
     vm = (vote_mask & valid).astype(picked.dtype)
     loss_vote = cfg.vote_loss_weight * jnp.sum(
         jnp.abs(picked - vote_targets) * vm[:, None]

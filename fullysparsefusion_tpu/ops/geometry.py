@@ -152,13 +152,15 @@ def corners_3d(boxes: jax.Array) -> jax.Array:
 def _polygon_area(pts: jax.Array, n_valid: jax.Array, cap: int) -> jax.Array:
     """Shoelace area of first n_valid vertices of pts [cap,2] (batched ...)."""
     idx = jnp.arange(cap)
-    nxt = (idx + 1) % cap
     valid = idx < n_valid[..., None]
-    # wrap: vertex i connects to (i+1) mod n_valid
-    nxt = jnp.where(idx + 1 < n_valid[..., None], idx + 1, 0)
+    # wrap: vertex i connects to (i+1) mod n_valid. nxt is a static roll
+    # except at the last valid vertex (wraps to 0) — a broadcast select,
+    # NOT take_along_axis (dynamic minor-dim indexing is ~10× slower on
+    # TPU; see docs/performance.md round-3 rules).
+    wrap = (idx + 1) == n_valid[..., None]
     x, y = pts[..., 0], pts[..., 1]
-    xn = jnp.take_along_axis(x, nxt, axis=-1)
-    yn = jnp.take_along_axis(y, nxt, axis=-1)
+    xn = jnp.where(wrap, x[..., :1], jnp.roll(x, -1, axis=-1))
+    yn = jnp.where(wrap, y[..., :1], jnp.roll(y, -1, axis=-1))
     cross = x * yn - xn * y
     area = 0.5 * jnp.sum(jnp.where(valid, cross, 0.0), axis=-1)
     return jnp.abs(area)
@@ -167,10 +169,11 @@ def _polygon_area(pts: jax.Array, n_valid: jax.Array, cap: int) -> jax.Array:
 def _clip_by_halfplane(pts, n_valid, a, b, c, cap):
     """Clip polygon (pts[...,cap,2], n_valid) by a*x+b*y+c >= 0."""
     idx = jnp.arange(cap)
-    nxt = jnp.where(idx + 1 < n_valid[..., None], idx + 1, 0)
+    wrap = (idx + 1) == n_valid[..., None]
     d = a[..., None] * pts[..., 0] + b[..., None] * pts[..., 1] + c[..., None]
-    d_n = jnp.take_along_axis(d, nxt, axis=-1)
-    p_n = jnp.take_along_axis(pts, nxt[..., None], axis=-2)
+    # next-vertex = static roll, wrap-select at the last valid vertex
+    d_n = jnp.where(wrap, d[..., :1], jnp.roll(d, -1, axis=-1))
+    p_n = jnp.where(wrap[..., None], pts[..., :1, :], jnp.roll(pts, -1, axis=-2))
     inside = d >= 0
     inside_n = d_n >= 0
     # intersection point of edge (p, p_n) with the line

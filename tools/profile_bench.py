@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 import numpy as np
 
-STAGES = ("voxvfe", "unet", "seg", "frustum", "fsd", "fusion", "full")
+STAGES = ("voxvfe", "unet", "core", "seg", "frustum", "fsd", "fusion", "full")
 
 
 def main():
@@ -117,6 +117,8 @@ def main():
             vars_, pb, cam, 1, None, None, False, 0.0, 1.0, until,
             method=lambda m, *a: m(*a),
         )
+        if until == "core":
+            return out["seg_feats"]
         if until == "seg":
             return out["seg_out"]["seg_logits"]
         if until == "frustum":
