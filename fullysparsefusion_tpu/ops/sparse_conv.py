@@ -274,7 +274,11 @@ def _gather_conv(feats_z, rows, w16):
     out = jnp.zeros((rows.shape[1], w16.shape[-1]), jnp.float32)
     # per-tap gather+matmul streams best; measured alternatives on v5e:
     # single [K³·cap] gather then slices: +9 ms; tap-concat wide matmul:
-    # 8.7× worse; full einsum contraction: +30 ms
+    # 8.7× worse; full einsum contraction: +30 ms; PRE-MULTIPLIED per-tap
+    # products (gather rows of feats@w[k], Cout bytes, whenever Cout<Cin —
+    # decoder merges + conv_out) measured 79.6 vs 76.8 ms full-UNet: gathers
+    # are row-RATE-bound here so the narrower rows save ~nothing and the
+    # K³ product writes add traffic. Don't retry.
     for ki in range(rows.shape[0]):
         out = out + jnp.dot(
             feats_z[rows[ki]], w16[ki], preferred_element_type=jnp.float32
