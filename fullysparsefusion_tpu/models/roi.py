@@ -228,19 +228,36 @@ def extract_roi_points_grid(
     table = jnp.full((ncells * kc + 1,), q, tdt)
     table = table.at[slot].set(flat_roi.astype(tdt), mode="drop")
 
+    # Expand the index table into a PARAMETER table: each cell's row holds
+    # its kc candidates' (7 box params + roi index) contiguously, so the
+    # per-point lookup is ONE kc*32-byte row gather instead of kc tiny
+    # 28-byte roi gathers. Measured (v5e, N=131k, kc=8): the per-candidate
+    # roi gather alone was 12.45 ms (1M rows, row-rate bound); the whole
+    # lookup+test drops 17.6 -> 4.7 ms with the packed row. The expansion
+    # itself gathers only ncells*kc (~23k) rows once per call.
+    aug = jnp.concatenate(
+        [
+            rois[:, :7].astype(jnp.float32),
+            jnp.arange(q, dtype=jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+    aug = jnp.concatenate([aug, jnp.full((1, 8), float(q), jnp.float32)])
+    ptab = aug[table.astype(jnp.int32).clip(0, q)]             # [ncells*kc+1, 8]
+    ptab = ptab[: ncells * kc].reshape(ncells, kc * 8)
+    ptab = jnp.concatenate([ptab, jnp.tile(aug[q:], (1, kc))])  # [ncells+1, ·]
+
     # per-point candidate lookup + exact rotated test
     pcx = jnp.floor((xyz[:, 0] - bev_lo[0]) / cell).astype(jnp.int32)
     pcy = jnp.floor((xyz[:, 1] - bev_lo[1]) / cell).astype(jnp.int32)
     p_in = point_valid & (pcx >= 0) & (pcx < nx) & (pcy >= 0) & (pcy < ny)
     pcell = (point_batch * ny + pcy) * nx + pcx
     pcell = jnp.where(p_in, pcell, ncells)
-    cand = table[
-        (pcell[:, None] * kc).clip(0, ncells * kc)
-        + jnp.arange(kc, dtype=jnp.int32)[None]
-    ].astype(jnp.int32)                                        # [N, kc]
+    row = ptab[pcell].reshape(xyz.shape[0], kc, 8)             # [N, kc, 8]
+    cand = row[..., 7].astype(jnp.int32)                       # exact for q < 2^24
     cand_ok = (cand < q) & p_in[:, None]
     safe = cand.clip(0, q - 1)
-    r = rois[safe]                                             # [N, kc, 7+]
+    r = row[..., :7].astype(xyz.dtype)                         # [N, kc, 7]
     rel = xyz[:, None, :] - gravity_center(r.reshape(-1, r.shape[-1])).reshape(
         xyz.shape[0], kc, 3
     )
