@@ -56,6 +56,30 @@ def reorg_anno(
     return out
 
 
+def pack_mask_scores(masks_u8: np.ndarray, anno: np.ndarray) -> np.ndarray:
+    """Pack per-pixel (instance id, quantized score) into one uint16 texture.
+
+    value = id | round(score·255) << 8, with id = anno row + 1 (0 = bg; ids
+    fit u8 because the id PNGs are u8). Folding the score into the texture
+    lets the on-device lookup read both with ONE row gather — the separate
+    per-(point, class) score gather from the tiny anno table was the single
+    most expensive op in the model (1.31M scalar gathers ≈ 10.2 ms on v5e;
+    docs/performance.md). Host-side numpy; anno may be [A, 9] or [B, A, 9]
+    matching masks [cams, ...] or [B, cams, ...].
+    """
+    masks_u8 = np.asarray(masks_u8)
+    anno = np.asarray(anno)
+    if anno.ndim == 2:
+        score_u8 = np.zeros(anno.shape[0] + 1, np.uint16)
+        score_u8[1:] = np.round(anno[:, 4] * 255).astype(np.uint16)
+        packed = masks_u8.astype(np.uint16) | (score_u8[masks_u8] << 8)
+        return packed
+    assert anno.ndim == 3 and masks_u8.shape[0] == anno.shape[0]
+    return np.stack(
+        [pack_mask_scores(masks_u8[b], anno[b]) for b in range(anno.shape[0])]
+    )
+
+
 def load_sample_masks(
     mask_dir: str,
     token: str,

@@ -37,9 +37,12 @@ from .sir import SIR
 class CameraData:
     """Pre-computed 2D instance data (reference LoadMaskFromFiles output).
 
-    masks: [B, cams, H, W, cls] uint8, CHANNEL-LAST — pixel = anno row + 1,
-           0 = bg (class planes contiguous per pixel: the per-point lookup
-           row-gathers all classes at once, ops/projection.py).
+    masks: [B, cams, H, W, cls] uint16 PACKED, CHANNEL-LAST — value =
+           id | score_u8 << 8 with id = anno row + 1, 0 = bg
+           (data/masks.py pack_mask_scores). Class planes are contiguous
+           per pixel so the per-point lookup row-gathers all classes at
+           once, and the instance score rides the same gather
+           (ops/projection.py).
     anno:  [B, A, 9] — [x1,y1,x2,y2, score, category, cam_id, obj_id, valid]
            sorted by obj_id (loading.py:301-339 reorg_anno_multi_cls).
     lidar2img: [B, cams, 4, 4].
@@ -69,10 +72,12 @@ class FrustumSelection(NamedTuple):
 
 def gather_point_instances(
     xyz_noaug: jax.Array, batch_idx: jax.Array, valid: jax.Array, cam: CameraData
-) -> jax.Array:
-    """[N, cams, cls] instance ids (0 outside masks / invalid points)."""
-    ids = points_in_mask(xyz_noaug, batch_idx, cam.lidar2img, cam.masks)
-    return ids * valid[:, None, None]
+) -> Tuple[jax.Array, jax.Array]:
+    """([N, cams, cls] instance ids, [N, cams, cls] 2D scores); both 0
+    outside masks / for invalid points."""
+    ids, scores = points_in_mask(xyz_noaug, batch_idx, cam.lidar2img, cam.masks)
+    keep = valid[:, None, None]
+    return ids * keep, scores * keep
 
 
 def select_frustum_points(
@@ -146,27 +151,25 @@ def object_preds_2d(
 
 def per_point_class_scores(
     obj_ids: jax.Array,     # [N, cams, cls]
-    batch_idx: jax.Array,
-    cam: CameraData,
+    obj_scores: jax.Array,  # [N, cams, cls] texture-packed 2D scores
 ) -> jax.Array:
     """Best-cam per-class 2D scores per point (img_cross_attn, FSF.py:694-728).
 
-    Picks the camera with the most mask hits for each point, then reads the
-    per-class instance scores from the anno table → [N, cls].
+    Picks the camera with the most mask hits for each point, then reads that
+    camera's per-class instance scores → [N, cls]. Scores come packed in
+    the mask texture (pack_mask_scores), so no anno-table gather happens
+    here — the per-(point, class) scalar gather from the tiny anno table
+    was the most expensive op in the whole model (10.2 ms on v5e).
     """
     n, num_cams, num_cls = obj_ids.shape
     hits = (obj_ids > 0).sum(-1)                  # [N, cams]
     best_cam = jnp.argmax(hits, axis=1)           # [N]
     # one-hot select over the 6 cams — not take_along_axis (dynamic
     # minor-dim indexing is ~10× slower on TPU; docs/performance.md)
-    oh = (jnp.arange(num_cams) == best_cam[:, None]).astype(obj_ids.dtype)
-    per_cls = jnp.einsum("nc,nck->nk", oh, obj_ids)  # [N, cls]
-    b, a, d = cam.anno.shape
-    flat_scores = cam.anno.reshape(b * a, d)[:, 4]
-    ok = per_cls > 0
-    idx = batch_idx[:, None] * a + (per_cls - 1).clip(0)
-    scores = flat_scores[idx.clip(0, b * a - 1)]
-    return jnp.where(ok, scores, 0.0)
+    oh = jnp.arange(num_cams) == best_cam[:, None]
+    per_cls = jnp.einsum("nc,nck->nk", oh.astype(obj_ids.dtype), obj_ids)
+    scores = jnp.einsum("nc,nck->nk", oh.astype(obj_scores.dtype), obj_scores)
+    return jnp.where(per_cls > 0, scores, 0.0)
 
 
 class FrustumBranch(nn.Module):

@@ -154,8 +154,10 @@ class FSF(nn.Module):
         seg_feats, pt_valid = self.seg_core(pb_inner, train, batch_size)
         if run_until == "core":   # profiling probe: segmentor core only
             return dict(seg_feats=seg_feats, pt_valid=pt_valid)
-        obj_ids = gather_point_instances(noaug_xyz, pb.batch_idx, pt_valid, cam)
-        cls_scores_2d = per_point_class_scores(obj_ids, pb.batch_idx, cam)
+        obj_ids, obj_scores = gather_point_instances(
+            noaug_xyz, pb.batch_idx, pt_valid, cam
+        )
+        cls_scores_2d = per_point_class_scores(obj_ids, obj_scores)
         seg_feats = seg_feats + self.seg_enhance_mlp(cls_scores_2d, pt_valid, train)
         seg_feats = seg_feats * pt_valid[:, None].astype(seg_feats.dtype)
         seg_out = self.seg_head(seg_feats, pt_valid, train)

@@ -47,14 +47,17 @@ def points_in_mask(
     xyz: jax.Array,         # [N, 3]
     batch_idx: jax.Array,   # [N]
     lidar2img: jax.Array,   # [B, num_cams, 4, 4]
-    masks: jax.Array,       # [B, num_cams, num_cls, H, W] int
-) -> jax.Array:
-    """Per-point instance ids: [N, num_cams, num_cls] (0 = no instance).
+    masks: jax.Array,       # [B, num_cams, H, W, num_cls] uint16 packed
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-point instance ids + 2D scores: ([N, cams, cls] int32 ids,
+    [N, cams, cls] f32 scores; id 0 = no instance).
 
-    ``masks`` is CHANNEL-LAST uint8 ``[B, cams, H, W, cls]``: one pixel's
+    ``masks`` is CHANNEL-LAST PACKED uint16 ``[B, cams, H, W, cls]`` with
+    value = id | score_u8 << 8 (data/masks.py pack_mask_scores): one pixel's
     class planes are contiguous, so the lookup is N·cams row gathers of
-    ``cls`` bytes instead of N·cams·cls scalar gathers — measured 7× faster
-    on v5e at nuScenes scale (75 → 11 ms).
+    2·cls bytes instead of N·cams·cls scalar gathers, and the instance
+    score rides the same gather — the separate per-(point, class) score
+    gather from the anno table was 1.31M scalar reads ≈ 10.2 ms on v5e.
     """
     b, num_cams, img_h, img_w, num_cls = masks.shape
     n = xyz.shape[0]
@@ -78,5 +81,8 @@ def points_in_mask(
     flat_masks = masks.reshape(-1, num_cls)
     base = batch_idx[:, None] * num_cams + jnp.arange(num_cams)[None, :]
     idx = (base * img_h + py) * img_w + px           # [N, C]
-    obj = flat_masks[idx]                            # [N, C, cls] uint8
-    return jnp.where(valid[:, :, None], obj, 0).astype(jnp.int32)
+    val = flat_masks[idx]                            # [N, C, cls] uint16
+    val = jnp.where(valid[:, :, None], val, 0)
+    ids = (val & 0xFF).astype(jnp.int32)
+    scores = (val >> 8).astype(jnp.float32) * (1.0 / 255.0)
+    return ids, scores

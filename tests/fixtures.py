@@ -240,8 +240,10 @@ def make_camera_data(
             masks[b, ci, v0:v1, u0:u1, cls] = row + 1
             anno[b, row] = [u0, v0, u1, v1, 0.9, cls, ci, row, 1]
             row += 1
+    from fullysparsefusion_tpu.data.masks import pack_mask_scores
+
     return CameraData(
-        masks=jnp.asarray(masks),
+        masks=jnp.asarray(pack_mask_scores(masks, anno)),
         anno=jnp.asarray(anno),
         lidar2img=jnp.asarray(lidar2img),
     )

@@ -30,8 +30,11 @@ def test_mask_grouping_consistency():
     cfg = tiny_fsf_config()
     pb, gt = make_scene(seed=1, n_cap=cfg.caps.points, max_gt=cfg.caps.max_gt)
     cam = make_camera_data(pb, gt, num_classes=cfg.num_classes)
-    ids = gather_point_instances(pb.xyz, pb.batch_idx, pb.valid, cam)
+    ids, ids_scores = gather_point_instances(pb.xyz, pb.batch_idx, pb.valid, cam)
     ids_np = np.asarray(ids)
+    # packed texture scores follow ids: score > 0 exactly where an id is set
+    sc_np = np.asarray(ids_scores)
+    assert ((sc_np > 0) == (ids_np > 0)).all()
     assert ids_np.min() >= 0
     # points inside GT boxes mostly project into their instance's mask
     assert (ids_np > 0).any(), "no point hit any mask"

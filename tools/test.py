@@ -145,8 +145,10 @@ def main():
                 (args.img_h, args.img_w), downsample=ds,
             )
             l2i[:, :2] /= ds  # masks are downsampled
+            from fullysparsefusion_tpu.data.masks import pack_mask_scores
+
             cam = CameraData(
-                masks=jnp.asarray(masks[None]),
+                masks=jnp.asarray(pack_mask_scores(masks, anno)[None]),
                 anno=jnp.asarray(anno[None]),
                 lidar2img=jnp.asarray(l2i[None]),
             )

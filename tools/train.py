@@ -252,8 +252,12 @@ def main():
                         masks_l.append(m)
                         annos_l.append(a)
                         l2i_l.append(l2i)
+                    from fullysparsefusion_tpu.data.masks import pack_mask_scores
+
                     cam = CameraData(
-                        masks=jnp.asarray(np.stack(masks_l)),
+                        masks=jnp.asarray(
+                            pack_mask_scores(np.stack(masks_l), np.stack(annos_l))
+                        ),
                         anno=jnp.asarray(np.stack(annos_l)),
                         lidar2img=jnp.asarray(np.stack(l2i_l)),
                     )
