@@ -123,6 +123,12 @@ class HeadConfig:
     iou_fg_thresh: float = 0.75
     iou_bg_thresh: float = 0.25
     loss_iou_weight: float = 1.0
+    # IoU-branch label source: "iou" = piecewise-linear 3D-IoU labels
+    # (sparse_cluster_head.py get_iou_labels :339-361); "dist" = BEV-distance
+    # ramp on positives (frustum_cluster_head.py get_dist_labels :475-500)
+    iou_label_mode: str = "iou"
+    dist_min_thre: float = 0.3
+    dist_max_thre: float = 2.0
     # test cfg
     nms_thr: float = 0.25
     score_thr: float = 0.05

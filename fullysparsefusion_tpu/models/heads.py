@@ -187,19 +187,32 @@ def cluster_head_loss(
         )
 
     if iou_logits is not None:
-        # IoU branch (sparse_cluster_head.py:197-203, get_iou_labels
-        # :339-361): piecewise-linear IoU labels between bg/fg thresholds,
+        if cfg.iou_label_mode == "dist":
+            # frustum-head labeling (frustum_cluster_head.py get_dist_labels
+            # :475-500): BEV distance of a POSITIVE cluster to its assigned
+            # GT center, ramped 1 → 0 between dist_min_thre and
+            # dist_max_thre; background clusters get label 0
+            dist = jnp.linalg.norm(
+                cluster_xyz[:, :2] - flat_boxes[safe, :2], axis=-1
+            )
+            lo_d, hi_d = cfg.dist_min_thre, cfg.dist_max_thre
+            ramp = jnp.clip((hi_d - dist) / jnp.maximum(hi_d - lo_d, 1e-6), 0.0, 1.0)
+            iou_labels = jnp.where(pos, ramp, 0.0)
+        else:
+            # IoU branch (sparse_cluster_head.py:197-203, get_iou_labels
+            # :339-361): piecewise-linear IoU labels between bg/fg thresholds
+            dets = coder.decode(jax.lax.stop_gradient(reg_preds), cluster_xyz)
+            iou_all = boxes_iou_3d(dets[:, :7], flat_boxes[:, :7])  # [C, G]
+            box_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), m)
+            pair_ok = (
+                (cluster_batch[:, None] == box_batch[None, :])
+                & (gt.valid.reshape(-1) & (flat_labels >= 0))[None, :]
+            )
+            ious = jnp.max(jnp.where(pair_ok, iou_all, 0.0), axis=1).clip(0.0, 1.0)
+            lo, hi = cfg.iou_bg_thresh, cfg.iou_fg_thresh
+            iou_labels = jnp.clip((ious - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
         # L1 against the logits, normalized by the class avg factor
-        dets = coder.decode(jax.lax.stop_gradient(reg_preds), cluster_xyz)
-        iou_all = boxes_iou_3d(dets[:, :7], flat_boxes[:, :7])  # [C, G]
-        box_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), m)
-        pair_ok = (
-            (cluster_batch[:, None] == box_batch[None, :])
-            & (gt.valid.reshape(-1) & (flat_labels >= 0))[None, :]
-        )
-        ious = jnp.max(jnp.where(pair_ok, iou_all, 0.0), axis=1).clip(0.0, 1.0)
-        lo, hi = cfg.iou_bg_thresh, cfg.iou_fg_thresh
-        iou_labels = jnp.clip((ious - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+        # (frustum_cluster_head.py:256 uses the same cls_avg_factor)
         losses[prefix + "loss_iou"] = cfg.loss_iou_weight * jnp.sum(
             jnp.abs(iou_logits - iou_labels) * cluster_valid
         ) / jnp.maximum(cls_avg, 1.0)

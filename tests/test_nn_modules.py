@@ -197,3 +197,50 @@ def test_cluster_head_iou_branch_and_corner_loss():
     g = jax.grad(f)(vars_["params"])
     norm = float(jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(g))))
     assert norm > 0
+
+
+def test_cluster_head_dist_label_mode():
+    """IoU-branch 'dist' labeling (frustum_cluster_head.py get_dist_labels
+    :475-500): positives get a BEV-distance ramp 1→0 between the two
+    thresholds; background clusters get exactly 0."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from fullysparsefusion_tpu.config import HeadConfig
+    from fullysparsefusion_tpu.models.heads import cluster_head_loss
+    from fullysparsefusion_tpu.utils.containers import GroundTruth
+
+    cfg = HeadConfig(
+        in_channel=8, shared_mlp_dims=(8,),
+        common_attrs=(("center", 3, 1, 8), ("dim", 3, 1, 8),
+                      ("rot", 2, 1, 8), ("vel", 2, 1, 8)),
+        num_cls_layer=1, cls_hidden_dim=8, num_classes=2,
+        with_iou=True, iou_label_mode="dist",
+        dist_min_thre=0.5, dist_max_thre=2.0,
+    )
+    # one GT box at origin; clusters at BEV distances 0.2 (pos, label 1),
+    # 1.25 (pos, ramp = (2−1.25)/1.5 = 0.5), and 30 (background, label 0)
+    boxes = np.zeros((1, 1, 10), np.float32)
+    boxes[0, 0, :7] = [0, 0, 0, 6, 6, 4, 0.0]
+    gt = GroundTruth(
+        boxes=jnp.asarray(boxes),
+        labels=jnp.asarray([[0]], np.int32),
+        valid=jnp.asarray([[True]]),
+    )
+    xyz = jnp.asarray(
+        [[0.2, 0.0, 0.0], [1.25, 0.0, 0.0], [30.0, 0.0, 0.0]], jnp.float32)
+    batch = jnp.zeros(3, jnp.int32)
+    valid = jnp.ones(3, bool)
+    C = 3
+    cls_logits = jnp.zeros((C, 2), jnp.float32)
+    reg_preds = jnp.zeros((C, 10), jnp.float32)
+    # iou_logits exactly equal to the expected labels → loss_iou == 0
+    expected = jnp.asarray([1.0, 0.5, 0.0], jnp.float32)
+    l0 = cluster_head_loss(
+        cls_logits, reg_preds, xyz, batch, valid, gt, cfg, iou_logits=expected)
+    assert float(l0["loss_iou"]) < 1e-6
+    # shifting the logits by d changes the L1 by d·C/valid_count = d
+    l1 = cluster_head_loss(
+        cls_logits, reg_preds, xyz, batch, valid, gt, cfg,
+        iou_logits=expected + 0.3)
+    np.testing.assert_allclose(float(l1["loss_iou"]), 0.3, rtol=1e-5)
