@@ -61,6 +61,8 @@ def build_bench_model():
     seg = VoteSegmentorConfig(
         unet_stage_capacities=tuple(
             c * batch for c in (57344, 40960, 24576, 8192, 2560)),
+        unet_dense_min_occupancy=float(
+            os.environ.get("FSF_BENCH_DENSE_OCC", 0.15)),
     )
     cfg = FSFConfig(fsd=FSDConfig(caps=caps, segmentor=seg))
 

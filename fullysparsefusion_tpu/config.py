@@ -85,6 +85,9 @@ class VoteSegmentorConfig:
     # set) — size these from measured occupancies, e.g. real nuScenes frames
     # run ~60k stage-0 voxels but only 15-25k after the first stride
     unet_stage_capacities: Optional[Tuple[int, ...]] = None
+    # occupancy (capacity / grid cells) above which a stage's convs use the
+    # dense scatter → MXU conv → gather-back path instead of tap gathers
+    unet_dense_min_occupancy: float = 0.15
     head_hidden_dims: Tuple[int, ...] = (128, 128)
     # losses
     seg_loss_weight: float = 10.0

@@ -167,19 +167,23 @@ def hybrid_cluster_one_group(
     num_fps: int = 256,
     radius: float = 1.0,
     max_batch: int = 8,
+    batch_size: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-class clustering dispatch (reference HybridAssigner,
     single_stage_fsd.py:1087-1177): 'ccl' → connected components,
     'ssg' → FPS + ball grouping.
 
-    ``max_batch`` must be ≥ the per-shard batch size in the 'ssg' path: the
-    per-sample loop is unrolled to this static bound, and samples beyond it
-    would silently get no clusters. Callers with larger batches must pass it.
+    In the 'ssg' path the per-sample loop is unrolled to a static bound:
+    pass ``batch_size`` (the static batch) and it is used directly; with
+    only ``max_batch`` given, samples with batch_idx ≥ max_batch would
+    silently get no clusters, so prefer ``batch_size``.
     """
     if method == "ccl":
         return cluster_one_group(centers, batch_idx, valid, group_id, cfg)
     from ..ops.fps import ssg_cluster
 
+    if batch_size is not None:
+        max_batch = batch_size
     # ssg operates per batch element; offset labels to keep them disjoint
     lab = jnp.full(centers.shape[:1], -1, jnp.int32)
     for b in range(max_batch):

@@ -73,6 +73,7 @@ class SegmentorCore(nn.Module):
             decoder_channels=c.unet_decoder_channels,
             stage_capacity_divisors=c.unet_capacity_divisors,
             stage_capacities=c.unet_stage_capacities,
+            dense_min_occupancy=c.unet_dense_min_occupancy,
         )(st, train)  # [voxels, out_ch]
 
         # voxel2point neck: gather voxel feature + local offset from voxel center

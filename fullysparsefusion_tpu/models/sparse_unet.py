@@ -41,6 +41,7 @@ class _SubMBlock(nn.Module):
 
     out_channels: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    dense_min_occupancy: float = 0.15
 
     @nn.compact
     def __call__(self, st: SparseTensor, rb: Rulebook, train: bool) -> SparseTensor:
@@ -51,7 +52,7 @@ class _SubMBlock(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
             (k3, cin, self.out_channels),
         )
-        if use_dense_conv(st, self.out_channels):
+        if use_dense_conv(st, self.out_channels, self.dense_min_occupancy):
             # high-occupancy stage: dense scatter -> MXU conv -> gather-back
             y = subm_conv_dense(st, w, None, self.kernel_size)
         else:
@@ -68,6 +69,7 @@ class _DownBlock(nn.Module):
     out_capacity: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (2, 2, 2)
+    dense_min_occupancy: float = 0.15
 
     @nn.compact
     def __call__(
@@ -80,7 +82,7 @@ class _DownBlock(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
             (k3, cin, self.out_channels),
         )
-        if use_dense_conv(st, self.out_channels):
+        if use_dense_conv(st, self.out_channels, self.dense_min_occupancy):
             out = sparse_conv3d_dense(
                 st, w, None, self.kernel_size, self.stride, self.padding,
                 self.out_capacity,
@@ -155,6 +157,8 @@ class SparseUNet(nn.Module):
     stage_capacity_divisors: Sequence[int] = (1, 1, 2, 4, 8)
     # explicit per-stage capacities override the divisor formula when set
     stage_capacities: Optional[Sequence[int]] = None
+    # active/total-cell occupancy above which convs take the dense MXU path
+    dense_min_occupancy: float = 0.15
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False) -> jax.Array:
@@ -165,7 +169,10 @@ class SparseUNet(nn.Module):
         # the up-conv writing from it (ops/sparse_conv._x_triplet_table)
         t3s = [_x_triplet_table(st) if _use_dense(st) else None]
         rulebooks = [build_subm_rulebook(st, t3=t3s[0])]
-        st = _SubMBlock(self.base_channels, name="conv_input")(st, rulebooks[0], train)
+        st = _SubMBlock(
+            self.base_channels, dense_min_occupancy=self.dense_min_occupancy,
+            name="conv_input",
+        )(st, rulebooks[0], train)
 
         skips = []
         n_stages = len(self.encoder_channels)
@@ -180,12 +187,13 @@ class SparseUNet(nn.Module):
                         c,
                         padding=tuple(self.encoder_strided_paddings[i - 1]),
                         out_capacity=out_cap,
+                        dense_min_occupancy=self.dense_min_occupancy,
                         name=f"enc{i}_down",
                     )(st, train, src_t3=t3s[i - 1])
                     t3s.append(_x_triplet_table(st) if _use_dense(st) else None)
                     rulebooks.append(build_subm_rulebook(st, t3=t3s[i]))
                 else:
-                    st = _SubMBlock(c, name=f"enc{i}_subm{j}")(st, rulebooks[i], train)
+                    st = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"enc{i}_subm{j}")(st, rulebooks[i], train)
             skips.append(st)
 
         x = skips[-1]
@@ -197,7 +205,7 @@ class SparseUNet(nn.Module):
             merged = x.replace(feats=jnp.concatenate([x.feats, skip.feats], axis=1))
             y = merged
             for j, c in enumerate(widths[:-1]):
-                y = _SubMBlock(c, name=f"dec{d}_subm{j}")(y, rulebooks[enc_stage], train)
+                y = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"dec{d}_subm{j}")(y, rulebooks[enc_stage], train)
             x = _UpBlock(
                 widths[-1],
                 padding=tuple(self.encoder_strided_paddings[enc_stage - 1]),
@@ -206,6 +214,6 @@ class SparseUNet(nn.Module):
 
         # final merge with stage-0 skip and projection to output_channels
         merged = x.replace(feats=jnp.concatenate([x.feats, skips[0].feats], axis=1))
-        out = _SubMBlock(self.output_channels, name="conv_out")(merged, rulebooks[0], train)
+        out = _SubMBlock(self.output_channels, dense_min_occupancy=self.dense_min_occupancy, name="conv_out")(merged, rulebooks[0], train)
         # heads and the scatter neck expect f32
         return out.feats.astype(jnp.float32)

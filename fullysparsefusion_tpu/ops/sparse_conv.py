@@ -463,14 +463,16 @@ DENSE_CONV_MIN_OCCUPANCY = 0.15
 DENSE_CONV_MAX_ELEMS = 192 * 1024 * 1024
 
 
-def use_dense_conv(st: SparseTensor, cout: int) -> bool:
+def use_dense_conv(
+    st: SparseTensor, cout: int, min_occupancy: float = DENSE_CONV_MIN_OCCUPANCY
+) -> bool:
     nx, ny, nz = st.dims
     if st.batch_size <= 0:
         return False
     cells = st.batch_size * nx * ny * nz
     occ = st.capacity / cells
     elems = cells * max(st.feats.shape[-1], cout)
-    return occ >= DENSE_CONV_MIN_OCCUPANCY and elems <= DENSE_CONV_MAX_ELEMS
+    return occ >= min_occupancy and elems <= DENSE_CONV_MAX_ELEMS
 
 
 def subm_conv_dense(

@@ -24,6 +24,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="full", choices=STAGES)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--dense-occ", type=float, default=0.15,
+                    help="unet dense-conv occupancy threshold (unet stage only)")
     args = ap.parse_args()
 
     import jax
@@ -79,6 +81,7 @@ def main():
             decoder_channels=sc.unet_decoder_channels,
             stage_capacity_divisors=sc.unet_capacity_divisors,
             stage_capacities=sc.unet_stage_capacities,
+            dense_min_occupancy=args.dense_occ,
         )
         seg, _, vb, vc = jax.jit(lambda p: voxelize_points(
             p.xyz, p.batch_idx, p.valid, sc.voxel_size, sc.point_cloud_range,
