@@ -81,7 +81,11 @@ def test_jax_htc_backend_cli(tmp_path):
         [sys.executable, os.path.join(repo, "tools", "generate_masks.py"),
          "--backend", "jax-htc", "--weights", "none", "--score-thr", "0.0",
          "--info-pkl", str(pkl), "--out-dir", str(out_dir)],
-        capture_output=True, text=True, timeout=1200,
+        # the tiny-HTC CPU compile alone takes ~11 min on a 1-core box —
+        # budget for contention (generate_masks now pins JAX_PLATFORMS=cpu
+        # via jax.config, so the axon sitecustomize cannot re-route this to
+        # the TPU tunnel)
+        capture_output=True, text=True, timeout=2400,
         env=dict(os.environ, JAX_PLATFORMS="cpu", FSF_HTC_TINY="1"),
     )
     assert r.returncode == 0, r.stderr[-2000:]

@@ -235,6 +235,18 @@ def backend_jax_htc(images, score_thr=0.3, weights=None):
 
 
 def main():
+    # Honor JAX_PLATFORMS even under the axon sitecustomize, which force-
+    # selects "axon,cpu" regardless of the env var: apply it via
+    # jax.config BEFORE the first backend-initializing op (same fix as
+    # tests/conftest.py). Without this a CPU-only invocation dials the TPU
+    # tunnel — and hangs when the tunnel is down.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="random",
                     choices=["random", "torch-maskrcnn", "jax-htc",

@@ -82,7 +82,9 @@ def run_case(cap, cin, cout, hit_rate, h_cap, label):
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])
         dest = starts[:-1, None] + rank            # [cap, 27]
         ok = hits.T & (dest < h_cap)
-        dest = jnp.where(ok, dest, h_cap)
+        # invalid pairs go OUT of bounds so mode="drop" discards them —
+        # an in-bounds trash slot would collide, violating unique_indices
+        dest = jnp.where(ok, dest, h_cap + 1)
         payload = rows.T.astype(jnp.uint32) + (
             jnp.arange(k3, dtype=jnp.uint32)[None, :] << 20)
         compact = jnp.zeros((h_cap + 1,), jnp.uint32).at[dest].set(
