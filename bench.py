@@ -63,6 +63,9 @@ def build_bench_model():
             c * batch for c in (57344, 40960, 24576, 8192, 2560)),
         unet_dense_min_occupancy=float(
             os.environ.get("FSF_BENCH_DENSE_OCC", 0.15)),
+        unet_compact_pair_rate=(
+            float(os.environ["FSF_BENCH_COMPACT_RATE"])
+            if os.environ.get("FSF_BENCH_COMPACT_RATE") else None),
     )
     cfg = FSFConfig(fsd=FSDConfig(caps=caps, segmentor=seg))
 

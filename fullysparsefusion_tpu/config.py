@@ -88,6 +88,11 @@ class VoteSegmentorConfig:
     # occupancy (capacity / grid cells) above which a stage's convs use the
     # dense scatter → MXU conv → gather-back path instead of tap gathers
     unet_dense_min_occupancy: float = 0.15
+    # when set, UNet stages in unet_compact_stages run their submanifold
+    # convs through a pair-compacted rulebook budgeted at
+    # rate·K³·capacity hit pairs (models/sparse_unet.SparseUNet)
+    unet_compact_pair_rate: Optional[float] = None
+    unet_compact_stages: Tuple[int, ...] = (0,)
     head_hidden_dims: Tuple[int, ...] = (128, 128)
     # losses
     seg_loss_weight: float = 10.0

@@ -23,6 +23,8 @@ from flax import linen as nn
 from ..ops.sparse_conv import (
     SparseTensor,
     Rulebook,
+    CompactRulebook,
+    build_compact_rulebook,
     build_subm_rulebook,
     subm_conv_apply,
     subm_conv_dense,
@@ -44,7 +46,10 @@ class _SubMBlock(nn.Module):
     dense_min_occupancy: float = 0.15
 
     @nn.compact
-    def __call__(self, st: SparseTensor, rb: Rulebook, train: bool) -> SparseTensor:
+    def __call__(
+        self, st: SparseTensor, rb: Rulebook, train: bool,
+        crb: Optional[CompactRulebook] = None,
+    ) -> SparseTensor:
         k3 = self.kernel_size[0] * self.kernel_size[1] * self.kernel_size[2]
         cin = st.feats.shape[-1]
         w = self.param(
@@ -56,7 +61,7 @@ class _SubMBlock(nn.Module):
             # high-occupancy stage: dense scatter -> MXU conv -> gather-back
             y = subm_conv_dense(st, w, None, self.kernel_size)
         else:
-            y = subm_conv_apply(st.feats, st.valid, rb, w, None)
+            y = subm_conv_apply(st.feats, st.valid, rb, w, None, crb=crb)
         y = MaskedBatchNorm()(y, st.valid, train)
         y = nn.relu(y) * st.valid[:, None].astype(y.dtype)
         # keep activations bf16 between convs — halves neighbor-gather traffic
@@ -159,6 +164,20 @@ class SparseUNet(nn.Module):
     stage_capacities: Optional[Sequence[int]] = None
     # active/total-cell occupancy above which convs take the dense MXU path
     dense_min_occupancy: float = 0.15
+    # when set, stages in compact_stages route their submanifold convs
+    # through a pair-compacted rulebook (ops/sparse_conv.CompactRulebook)
+    # sized to rate·K³·capacity hit pairs — a traffic win when the stage's
+    # tap hit rate is well below the rate (stage 0 measures ~14.5 %);
+    # pairs beyond the budget are dropped out-major from the tail
+    compact_pair_rate: Optional[float] = None
+    compact_stages: Sequence[int] = (0,)
+
+    def _compact(self, i: int, rb: Rulebook) -> Optional[CompactRulebook]:
+        if self.compact_pair_rate is None or i not in self.compact_stages:
+            return None
+        k3, cap = rb.rows.shape
+        pair_cap = -(-int(k3 * cap * self.compact_pair_rate) // 256) * 256
+        return build_compact_rulebook(rb, pair_cap)
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False) -> jax.Array:
@@ -169,10 +188,11 @@ class SparseUNet(nn.Module):
         # the up-conv writing from it (ops/sparse_conv._x_triplet_table)
         t3s = [_x_triplet_table(st) if _use_dense(st) else None]
         rulebooks = [build_subm_rulebook(st, t3=t3s[0])]
+        crbs = [self._compact(0, rulebooks[0])]
         st = _SubMBlock(
             self.base_channels, dense_min_occupancy=self.dense_min_occupancy,
             name="conv_input",
-        )(st, rulebooks[0], train)
+        )(st, rulebooks[0], train, crb=crbs[0])
 
         skips = []
         n_stages = len(self.encoder_channels)
@@ -192,8 +212,9 @@ class SparseUNet(nn.Module):
                     )(st, train, src_t3=t3s[i - 1])
                     t3s.append(_x_triplet_table(st) if _use_dense(st) else None)
                     rulebooks.append(build_subm_rulebook(st, t3=t3s[i]))
+                    crbs.append(self._compact(i, rulebooks[i]))
                 else:
-                    st = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"enc{i}_subm{j}")(st, rulebooks[i], train)
+                    st = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"enc{i}_subm{j}")(st, rulebooks[i], train, crb=crbs[i])
             skips.append(st)
 
         x = skips[-1]
@@ -205,7 +226,7 @@ class SparseUNet(nn.Module):
             merged = x.replace(feats=jnp.concatenate([x.feats, skip.feats], axis=1))
             y = merged
             for j, c in enumerate(widths[:-1]):
-                y = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"dec{d}_subm{j}")(y, rulebooks[enc_stage], train)
+                y = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"dec{d}_subm{j}")(y, rulebooks[enc_stage], train, crb=crbs[enc_stage])
             x = _UpBlock(
                 widths[-1],
                 padding=tuple(self.encoder_strided_paddings[enc_stage - 1]),
@@ -214,6 +235,6 @@ class SparseUNet(nn.Module):
 
         # final merge with stage-0 skip and projection to output_channels
         merged = x.replace(feats=jnp.concatenate([x.feats, skips[0].feats], axis=1))
-        out = _SubMBlock(self.output_channels, dense_min_occupancy=self.dense_min_occupancy, name="conv_out")(merged, rulebooks[0], train)
+        out = _SubMBlock(self.output_channels, dense_min_occupancy=self.dense_min_occupancy, name="conv_out")(merged, rulebooks[0], train, crb=crbs[0])
         # heads and the scatter neck expect f32
         return out.feats.astype(jnp.float32)

@@ -115,6 +115,34 @@ def test_sparse_unet_runs_and_aligns():
     np.testing.assert_allclose(got[:ntot], out2[:ntot], atol=1e-4)
 
 
+def test_sparse_unet_compact_pair_rate_matches():
+    """compact_pair_rate routes stage convs through the pair-compacted form;
+    outputs must match the full-capacity gathers to bf16 activation noise
+    and the parameter tree must be unchanged."""
+    st, ntot = _toy_sparse(2)
+    kw = dict(
+        base_channels=8,
+        output_channels=16,
+        encoder_channels=((8,), (16, 16)),
+        encoder_strided_paddings=((1, 1, 1),),
+        decoder_channels=((16, 8),),
+        stage_capacity_divisors=(1, 1),
+        dense_min_occupancy=2.0,  # keep every conv on the gather path
+    )
+    m0 = SparseUNet(**kw)
+    m1 = SparseUNet(**kw, compact_pair_rate=1.0, compact_stages=(0, 1))
+    vars_ = m0.init(jax.random.key(0), st, False)
+    assert jax.tree_util.tree_structure(vars_) == jax.tree_util.tree_structure(
+        m1.init(jax.random.key(0), st, False)
+    )
+    o0 = np.asarray(jax.jit(lambda v: m0.apply(v, st, False))(vars_))
+    o1 = np.asarray(jax.jit(lambda v: m1.apply(v, st, False))(vars_))
+    # inter-conv activations are bf16 — different f32 accumulation order
+    # re-quantizes within one bf16 ulp
+    np.testing.assert_allclose(o0, o1, atol=4e-3, rtol=4e-3)
+    np.testing.assert_array_equal(o1[ntot:], 0.0)
+
+
 def test_sparse_unet_jit_and_grad():
     st, ntot = _toy_sparse(1)
     m = SparseUNet(

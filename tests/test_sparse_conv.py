@@ -86,6 +86,53 @@ def test_subm_conv_matches_dense(seed):
     np.testing.assert_array_equal(got[n:], 0.0)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_compact_rulebook_conv_matches_full(seed):
+    """Pair-compacted forward (cumsum + boundary diff) == full-capacity conv,
+    including gradients through the shared custom VJP and overflow-drop
+    semantics when pair capacity truncates the tail."""
+    import jax
+    from fullysparsefusion_tpu.ops.sparse_conv import (
+        build_subm_rulebook,
+        build_compact_rulebook,
+        subm_conv_apply,
+    )
+
+    rng = np.random.default_rng(seed + 20)
+    cin, cout = 4, 6
+    st, _, _, _, n = _make_sparse(seed, cin)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+    rb = build_subm_rulebook(st)
+    n_pairs = int(np.asarray(rb.hits).sum())
+
+    def run(crb):
+        return subm_conv_apply(
+            st.feats, st.valid, rb, w, compute_dtype=jnp.float32, crb=crb)
+
+    full = run(None)
+    for pair_cap in (n_pairs, n_pairs + 33):
+        crb = build_compact_rulebook(rb, pair_cap)
+        np.testing.assert_allclose(
+            np.asarray(run(crb)), np.asarray(full), rtol=1e-5, atol=1e-5)
+
+    # overflow: pairs are dropped out-major from the tail, so outputs before
+    # the first truncated one still match exactly
+    short = n_pairs - 10
+    crb = build_compact_rulebook(rb, short)
+    n_ok = int(np.searchsorted(np.cumsum(np.asarray(rb.hits).T.sum(1)), short))
+    np.testing.assert_allclose(
+        np.asarray(run(crb))[:n_ok], np.asarray(full)[:n_ok],
+        rtol=1e-5, atol=1e-5)
+
+    crb = build_compact_rulebook(rb, n_pairs)
+    g_full = jax.grad(lambda f: jnp.sum(subm_conv_apply(
+        f, st.valid, rb, w, compute_dtype=jnp.float32) ** 2))(st.feats)
+    g_comp = jax.grad(lambda f: jnp.sum(subm_conv_apply(
+        f, st.valid, rb, w, compute_dtype=jnp.float32, crb=crb) ** 2))(st.feats)
+    np.testing.assert_allclose(
+        np.asarray(g_comp), np.asarray(g_full), rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("padding", [(1, 1, 1), (0, 1, 1)])
 def test_strided_conv_matches_dense(padding):
     rng = np.random.default_rng(42)
