@@ -32,6 +32,45 @@ NUSC_CLASS_MAP = {
 }
 
 
+# mmdet3d create_data camera enumeration order — masks and lidar2img rows
+# must align per camera index (nuscenes_converter.py camera_types)
+NUSC_CAMERA_ORDER = (
+    "CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT",
+    "CAM_BACK", "CAM_BACK_LEFT", "CAM_BACK_RIGHT",
+)
+
+
+def lidar2img_from_cams(cams: Dict[str, Dict]) -> np.ndarray:
+    """[num_cams, 4, 4] lidar→image matrices from an mmdet3d info pickle's
+    per-camera ``cams`` entries.
+
+    Real ``NuScenesDataset`` pickles do NOT store ``lidar2img``; the
+    reference derives it in ``get_data_info`` (mmdet3d
+    nuscenes_dataset.py) from ``sensor2lidar_rotation/translation`` and
+    ``cam_intrinsic`` — this reproduces that math exactly (row-vector
+    build, transposed at the end). Cameras follow NUSC_CAMERA_ORDER when
+    all six are present, else the dict's insertion order.
+    """
+    names = [n for n in NUSC_CAMERA_ORDER if n in cams]
+    if len(names) != len(cams):
+        names = list(cams.keys())
+    mats = []
+    for name in names:
+        ci = cams[name]
+        r = np.asarray(ci["sensor2lidar_rotation"], np.float64)
+        t = np.asarray(ci["sensor2lidar_translation"], np.float64)
+        lidar2cam_r = np.linalg.inv(r)
+        lidar2cam_t = t @ lidar2cam_r.T
+        rt = np.eye(4)
+        rt[:3, :3] = lidar2cam_r.T
+        rt[3, :3] = -lidar2cam_t
+        intrinsic = np.asarray(ci["cam_intrinsic"], np.float64)
+        viewpad = np.eye(4)
+        viewpad[: intrinsic.shape[0], : intrinsic.shape[1]] = intrinsic
+        mats.append(viewpad @ rt.T)
+    return np.asarray(mats, np.float32)
+
+
 def load_points_bin(path: str, load_dim: int = 5, use_dim: int = 5) -> np.ndarray:
     pts = np.fromfile(path, dtype=np.float32).reshape(-1, load_dim)
     return pts[:, :use_dim]
@@ -219,9 +258,13 @@ class NuScenesReader:
             gt_attrs=gt_attrs,
             no_aug_gt_boxes=no_aug_gt,
             token=info.get("token", ""),
-            lidar2img=np.asarray(info["lidar2img"], np.float32)
-            if "lidar2img" in info
-            else None,
+            lidar2img=(
+                np.asarray(info["lidar2img"], np.float32)
+                if "lidar2img" in info
+                else lidar2img_from_cams(info["cams"])
+                if info.get("cams")
+                else None
+            ),
         )
 
     def batches(self, batch_size: int, n_points_cap: int, max_gt: int):

@@ -137,3 +137,40 @@ def test_waymo_mask_variant(tmp_path):
     np.testing.assert_allclose(row[:4], [30, 10, 50, 20], atol=1e-5)
     # categories from class names
     assert annos[0, 5] == 0 and row[5] == 1
+
+
+def test_lidar2img_from_cams_matches_projection():
+    """Deriving lidar2img from an mmdet3d-style ``cams`` dict (real pickles
+    store per-cam calib, not precomputed matrices) — verify a known point
+    projects through K·[R|t]⁻¹ and that camera rows follow the mmdet3d
+    camera_types order."""
+    from fullysparsefusion_tpu.data.nuscenes import (
+        NUSC_CAMERA_ORDER, lidar2img_from_cams,
+    )
+
+    rng = np.random.default_rng(0)
+    # random valid rotation via QR
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    t = rng.normal(size=3)
+    fx, fy, cx, cy = 800.0, 810.0, 640.0, 360.0
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    cam = dict(sensor2lidar_rotation=q, sensor2lidar_translation=t,
+               cam_intrinsic=K)
+    cams = {name: cam for name in NUSC_CAMERA_ORDER}
+    mats = lidar2img_from_cams(cams)
+    assert mats.shape == (6, 4, 4)
+
+    p_lidar = np.array([3.0, -1.0, 0.5])
+    # ground truth: cam coords = R⁻¹(p − t), pixel = K @ cam, divide by z
+    p_cam = np.linalg.inv(q) @ (p_lidar - t)
+    expect_uv = (K @ p_cam)[:2] / p_cam[2]
+    got = mats[0] @ np.append(p_lidar, 1.0)
+    got_uv = got[:2] / got[2]
+    np.testing.assert_allclose(got_uv, expect_uv, rtol=1e-4)
+    np.testing.assert_allclose(got[2], p_cam[2], rtol=1e-5)
+
+    # partial camera sets fall back to dict order
+    two = {"CAM_WEIRD": cam, "CAM_FRONT": cam}
+    assert lidar2img_from_cams(two).shape == (2, 4, 4)

@@ -126,11 +126,27 @@ def run_case(cap, cin, cout, hit_rate, h_cap, label):
     prod = jnp.asarray(rng.standard_normal((h_cap, cout)), jnp.float32)
     t_cumsum = bench(lambda x: jnp.cumsum(x, axis=0), prod)
 
+    # the SHIPPED library path (ops.sparse_conv), forward + backward
+    from fullysparsefusion_tpu.ops import sparse_conv as sc
+
+    rb = sc.Rulebook(rows=rows, hits=hits)
+    crb = jax.jit(lambda: sc.build_compact_rulebook(rb, h_cap))()
+    t_lib_full = bench(
+        lambda f: sc.subm_conv_apply(f, valid, rb, w), feats)
+    t_lib_comp = bench(
+        lambda f: sc.subm_conv_apply(f, valid, rb, w, crb=crb), feats)
+    t_lib_comp_g = bench(jax.grad(
+        lambda f: sc.subm_conv_apply(
+            f, valid, rb, w, crb=crb).astype(jnp.float32).sum()), feats)
+
     print(f"{label}: cap={cap} {cin}->{cout} hit={hit_rate:.0%} h_cap={h_cap}")
     print(f"  full-cap conv:   {t_full:7.2f} ms")
     print(f"  compact conv:    {t_compact:7.2f} ms   (rel err {err:.2e})")
     print(f"  pair build:      {t_build:7.2f} ms (per stage, shared)")
     print(f"  cumsum alone:    {t_cumsum:7.2f} ms [{h_cap},{cout}]f32")
+    print(f"  lib full fwd:    {t_lib_full:7.2f} ms")
+    print(f"  lib compact fwd: {t_lib_comp:7.2f} ms")
+    print(f"  lib compact grad:{t_lib_comp_g:7.2f} ms")
 
 
 def main():
