@@ -25,6 +25,7 @@ from ..ops.sparse_conv import (
     Rulebook,
     CompactRulebook,
     build_compact_rulebook,
+    mirror_rulebook,
     build_subm_rulebook,
     subm_conv_apply,
     subm_conv_dense,
@@ -49,6 +50,7 @@ class _SubMBlock(nn.Module):
     def __call__(
         self, st: SparseTensor, rb: Rulebook, train: bool,
         crb: Optional[CompactRulebook] = None,
+        crb_bwd: Optional[CompactRulebook] = None,
     ) -> SparseTensor:
         k3 = self.kernel_size[0] * self.kernel_size[1] * self.kernel_size[2]
         cin = st.feats.shape[-1]
@@ -61,7 +63,8 @@ class _SubMBlock(nn.Module):
             # high-occupancy stage: dense scatter -> MXU conv -> gather-back
             y = subm_conv_dense(st, w, None, self.kernel_size)
         else:
-            y = subm_conv_apply(st.feats, st.valid, rb, w, None, crb=crb)
+            y = subm_conv_apply(
+                st.feats, st.valid, rb, w, None, crb=crb, crb_bwd=crb_bwd)
         y = MaskedBatchNorm()(y, st.valid, train)
         y = nn.relu(y) * st.valid[:, None].astype(y.dtype)
         # keep activations bf16 between convs — halves neighbor-gather traffic
@@ -172,12 +175,20 @@ class SparseUNet(nn.Module):
     compact_pair_rate: Optional[float] = None
     compact_stages: Sequence[int] = (0,)
 
-    def _compact(self, i: int, rb: Rulebook) -> Optional[CompactRulebook]:
+    def _compact(
+        self, i: int, rb: Rulebook, train: bool
+    ) -> Tuple[Optional[CompactRulebook], Optional[CompactRulebook]]:
+        """(forward, backward) compact pair lists for stage ``i`` (both None
+        when compaction is off for the stage; backward only under train —
+        one extra scatter per stage, amortized over the stage's convs)."""
         if self.compact_pair_rate is None or i not in self.compact_stages:
-            return None
+            return None, None
         k3, cap = rb.rows.shape
         pair_cap = -(-int(k3 * cap * self.compact_pair_rate) // 256) * 256
-        return build_compact_rulebook(rb, pair_cap)
+        crb = build_compact_rulebook(rb, pair_cap)
+        crb_b = (build_compact_rulebook(mirror_rulebook(rb), pair_cap)
+                 if train else None)
+        return crb, crb_b
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False) -> jax.Array:
@@ -188,11 +199,11 @@ class SparseUNet(nn.Module):
         # the up-conv writing from it (ops/sparse_conv._x_triplet_table)
         t3s = [_x_triplet_table(st) if _use_dense(st) else None]
         rulebooks = [build_subm_rulebook(st, t3=t3s[0])]
-        crbs = [self._compact(0, rulebooks[0])]
+        crbs = [self._compact(0, rulebooks[0], train)]
         st = _SubMBlock(
             self.base_channels, dense_min_occupancy=self.dense_min_occupancy,
             name="conv_input",
-        )(st, rulebooks[0], train, crb=crbs[0])
+        )(st, rulebooks[0], train, crb=crbs[0][0], crb_bwd=crbs[0][1])
 
         skips = []
         n_stages = len(self.encoder_channels)
@@ -212,9 +223,9 @@ class SparseUNet(nn.Module):
                     )(st, train, src_t3=t3s[i - 1])
                     t3s.append(_x_triplet_table(st) if _use_dense(st) else None)
                     rulebooks.append(build_subm_rulebook(st, t3=t3s[i]))
-                    crbs.append(self._compact(i, rulebooks[i]))
+                    crbs.append(self._compact(i, rulebooks[i], train))
                 else:
-                    st = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"enc{i}_subm{j}")(st, rulebooks[i], train, crb=crbs[i])
+                    st = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"enc{i}_subm{j}")(st, rulebooks[i], train, crb=crbs[i][0], crb_bwd=crbs[i][1])
             skips.append(st)
 
         x = skips[-1]
@@ -226,7 +237,7 @@ class SparseUNet(nn.Module):
             merged = x.replace(feats=jnp.concatenate([x.feats, skip.feats], axis=1))
             y = merged
             for j, c in enumerate(widths[:-1]):
-                y = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"dec{d}_subm{j}")(y, rulebooks[enc_stage], train, crb=crbs[enc_stage])
+                y = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"dec{d}_subm{j}")(y, rulebooks[enc_stage], train, crb=crbs[enc_stage][0], crb_bwd=crbs[enc_stage][1])
             x = _UpBlock(
                 widths[-1],
                 padding=tuple(self.encoder_strided_paddings[enc_stage - 1]),
@@ -235,6 +246,6 @@ class SparseUNet(nn.Module):
 
         # final merge with stage-0 skip and projection to output_channels
         merged = x.replace(feats=jnp.concatenate([x.feats, skips[0].feats], axis=1))
-        out = _SubMBlock(self.output_channels, dense_min_occupancy=self.dense_min_occupancy, name="conv_out")(merged, rulebooks[0], train, crb=crbs[0])
+        out = _SubMBlock(self.output_channels, dense_min_occupancy=self.dense_min_occupancy, name="conv_out")(merged, rulebooks[0], train, crb=crbs[0][0], crb_bwd=crbs[0][1])
         # heads and the scatter neck expect f32
         return out.feats.astype(jnp.float32)

@@ -210,6 +210,10 @@ class CompactRulebook:
 def build_compact_rulebook(rb: Rulebook, pair_capacity: int) -> CompactRulebook:
     """Compact a Rulebook to its hit pairs (one unique-index scatter)."""
     k3, cap = rb.rows.shape
+    # payload packs src into 20 bits and the tap index above — holds for
+    # every shipped capacity (57k stage-0 × batch ≤ 16); widen to uint64
+    # before raising this
+    assert cap < (1 << 20) and k3 <= (1 << 11), (k3, cap)
     hits_t = rb.hits.T.astype(jnp.int32)                    # [cap, K³]
     rank = jnp.cumsum(hits_t, axis=1) - 1
     cnt = hits_t.sum(axis=1)
@@ -232,22 +236,19 @@ def build_compact_rulebook(rb: Rulebook, pair_capacity: int) -> CompactRulebook:
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _subm_conv_core_compact(feats, w, valid, rows, ysrc, starts,
-                            compute_dtype_name: str):
-    """out[i] = Σ_{hit pairs p of i} (feats @ w[k_p])[src_p].
+def _compact_conv_sum(xz, w_taps, valid, ysrc, starts, cdtype):
+    """Σ over hit pairs of (xz @ w_taps[k_p])[src_p] per output row.
 
     Per-tap transform on the MXU first (trivial FLOPs), then ONE gather of
     only the hit pairs, then a scatter-free segment sum: exclusive cumsum
     over the out-major pair products and a boundary-diff gather. The f32
     prefix sums make the diff exact to ~|Σ_all|·2⁻²⁴ — products are bf16
     anyway, so the associativity change is below the activation noise.
+    ``xz`` carries the appended zero row ([cap+1, Cin]).
     """
-    cdtype = jnp.dtype(compute_dtype_name)
-    k3, capp = rows.shape[0], rows.shape[1] + 1
-    fz = _append_zero_row(feats).astype(cdtype)
+    k3, capp = w_taps.shape[0], xz.shape[0]
     y = jnp.einsum(
-        "nc,kcd->knd", fz, w.astype(cdtype),
+        "nc,kcd->knd", xz, w_taps.astype(cdtype),
         preferred_element_type=cdtype,
     )                                                        # [K³, cap+1, Cout]
     cout = y.shape[-1]
@@ -259,6 +260,16 @@ def _subm_conv_core_compact(feats, w, valid, rows, ysrc, starts,
     pg = p[starts]                                           # [cap+1, Cout]
     out = pg[1:] - pg[:-1]
     return out * valid[:, None].astype(out.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _subm_conv_core_compact(feats, w, valid, rows, ysrc, starts,
+                            compute_dtype_name: str):
+    """out[i] = Σ_{hit pairs p of i} (feats @ w[k_p])[src_p] (see
+    _compact_conv_sum); backward runs the full-capacity mirrored gathers."""
+    cdtype = jnp.dtype(compute_dtype_name)
+    fz = _append_zero_row(feats).astype(cdtype)
+    return _compact_conv_sum(fz, w, valid, ysrc, starts, cdtype)
 
 
 def _subm_conv_compact_fwd(feats, w, valid, rows, ysrc, starts,
@@ -273,6 +284,51 @@ def _subm_conv_compact_bwd(compute_dtype_name, res, g):
     # Rulebook rows, which the compact form carries alongside)
     d_feats, d_w, _, _ = _subm_conv_bwd(compute_dtype_name, res, g)
     return d_feats, d_w, None, None, None, None
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _subm_conv_core_compact2(feats, w, valid, rows, ysrc, starts,
+                             ysrc_b, starts_b, compute_dtype_name: str):
+    """Compact forward AND compact d_feats backward.
+
+    ``ysrc_b``/``starts_b`` are the pair list of the MIRRORED rulebook
+    (Rulebook(rows=flip(rows,0), hits=flip(hits,0))): the submanifold tap
+    set is symmetric (o_{K³−1−k} = −o_k), so d_feats is itself a compact
+    gather conv through those pairs with per-tap weights w[k]ᵀ — the same
+    pairing the full-capacity backward uses (_subm_conv_bwd). d_w keeps
+    the full-capacity row gathers (its per-tap matmul form has no cheap
+    pair equivalent).
+    """
+    cdtype = jnp.dtype(compute_dtype_name)
+    fz = _append_zero_row(feats).astype(cdtype)
+    return _compact_conv_sum(fz, w, valid, ysrc, starts, cdtype)
+
+
+def _subm_conv_compact2_fwd(feats, w, valid, rows, ysrc, starts,
+                            ysrc_b, starts_b, compute_dtype_name):
+    out = _subm_conv_core_compact2(
+        feats, w, valid, rows, ysrc, starts, ysrc_b, starts_b,
+        compute_dtype_name)
+    return out, (feats, w, valid, rows, ysrc_b, starts_b)
+
+
+def _subm_conv_compact2_bwd(compute_dtype_name, res, g):
+    feats, w, valid, rows, ysrc_b, starts_b = res
+    cdtype = jnp.dtype(compute_dtype_name)
+    k3 = rows.shape[0]
+    g = g * valid[:, None].astype(g.dtype)
+    gz = _append_zero_row(g).astype(cdtype)
+    # mirror tap kb pairs flip(rows,0)[kb] with w[kb]ᵀ (see _subm_conv_bwd)
+    wT = w.transpose(0, 2, 1)
+    d_feats = _compact_conv_sum(
+        gz, wT, valid, ysrc_b, starts_b, cdtype).astype(feats.dtype)
+    f16 = _append_zero_row(feats).astype(cdtype)
+    d_w = jnp.stack([
+        jnp.dot(f16[rows[ki]].T, g.astype(cdtype),
+                preferred_element_type=jnp.float32)
+        for ki in range(k3)
+    ]).astype(w.dtype)
+    return d_feats, d_w, None, None, None, None, None, None
 
 
 def _table_dtype(capacity: int):
@@ -449,6 +505,13 @@ def _subm_conv_bwd(compute_dtype_name, res, g):
 
 _subm_conv_core.defvjp(_subm_conv_fwd, _subm_conv_bwd)
 _subm_conv_core_compact.defvjp(_subm_conv_compact_fwd, _subm_conv_compact_bwd)
+_subm_conv_core_compact2.defvjp(_subm_conv_compact2_fwd, _subm_conv_compact2_bwd)
+
+
+def mirror_rulebook(rb: Rulebook) -> Rulebook:
+    """Rulebook of the mirrored tap set (o_{K³−1−k} = −o_k) — the pair map
+    the backward gathers through; compact it for a compact d_feats."""
+    return Rulebook(rows=jnp.flip(rb.rows, axis=0), hits=jnp.flip(rb.hits, axis=0))
 
 
 def subm_conv_apply(
@@ -459,6 +522,7 @@ def subm_conv_apply(
     b: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
     crb: Optional[CompactRulebook] = None,
+    crb_bwd: Optional[CompactRulebook] = None,
 ) -> jax.Array:
     """Apply a submanifold conv through a prebuilt rulebook.
 
@@ -467,11 +531,17 @@ def subm_conv_apply(
     (A tap-concat variant — one [cap, 9·Cin] matmul per 9 taps — measured
     8.7× SLOWER on v5e: the [cap, t, Cin] → [cap, t·Cin] relayout dominates.)
     With ``crb`` the forward gathers only the HIT pairs instead of every
-    tap slot (see CompactRulebook) — a win on low-hit-rate stages.
+    tap slot (see CompactRulebook) — a win on low-hit-rate stages; add
+    ``crb_bwd`` (the compacted mirror_rulebook) to compact the backward's
+    d_feats the same way.
     """
     w, b = _pvary_params(w, b)
     cdn = jnp.dtype(compute_dtype).name
-    if crb is not None:
+    if crb is not None and crb_bwd is not None:
+        out = _subm_conv_core_compact2(
+            feats, w, valid, rb.rows, crb.ysrc, crb.starts,
+            crb_bwd.ysrc, crb_bwd.starts, cdn)
+    elif crb is not None:
         out = _subm_conv_core_compact(
             feats, w, valid, rb.rows, crb.ysrc, crb.starts, cdn)
     else:

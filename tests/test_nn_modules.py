@@ -142,6 +142,29 @@ def test_sparse_unet_compact_pair_rate_matches():
     np.testing.assert_allclose(o0, o1, atol=4e-3, rtol=4e-3)
     np.testing.assert_array_equal(o1[ntot:], 0.0)
 
+    # train mode builds the mirrored pair lists (two-sided compaction);
+    # gradients through them track the full-capacity backward. Exact parity
+    # is proven at f32 at the op level (test_compact_rulebook_conv_matches_
+    # full); through the bf16 inter-conv activations the two forms round
+    # differently and the toy-scale chain (6 convs + train BN) amplifies
+    # that to tens of percent elementwise — assert direction (cosine) and
+    # finiteness here, not magnitudes.
+    def loss(m, params):
+        out, _ = m.apply(
+            {"params": params, "batch_stats": vars_["batch_stats"]},
+            st, True, mutable=["batch_stats"])
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g0 = jax.grad(lambda p: loss(m0, p))(vars_["params"])
+    g1 = jax.grad(lambda p: loss(m1, p))(vars_["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        a, b = np.asarray(a, np.float64).ravel(), np.asarray(b, np.float64).ravel()
+        assert np.isfinite(b).all()
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na > 1e-6 and nb > 1e-6:
+            cos = float(a @ b / (na * nb))
+            assert cos > 0.95, cos
+
 
 def test_sparse_unet_jit_and_grad():
     st, ntot = _toy_sparse(1)

@@ -132,6 +132,28 @@ def test_compact_rulebook_conv_matches_full(seed):
     np.testing.assert_allclose(
         np.asarray(g_comp), np.asarray(g_full), rtol=1e-4, atol=1e-4)
 
+    # two-sided compaction: d_feats through the mirrored pair list and d_w
+    # must both match the full-capacity backward
+    from fullysparsefusion_tpu.ops.sparse_conv import mirror_rulebook
+
+    crb_b = build_compact_rulebook(mirror_rulebook(rb), n_pairs)
+
+    def loss2(f, w_):
+        return jnp.sum(subm_conv_apply(
+            f, st.valid, rb, w_, compute_dtype=jnp.float32,
+            crb=crb, crb_bwd=crb_b) ** 2)
+
+    def loss_ref(f, w_):
+        return jnp.sum(subm_conv_apply(
+            f, st.valid, rb, w_, compute_dtype=jnp.float32) ** 2)
+
+    gf2, gw2 = jax.grad(loss2, argnums=(0, 1))(st.feats, w)
+    gfr, gwr = jax.grad(loss_ref, argnums=(0, 1))(st.feats, w)
+    np.testing.assert_allclose(np.asarray(gf2), np.asarray(gfr),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gwr),
+                               rtol=1e-4, atol=1e-4)
+
 
 @pytest.mark.parametrize("padding", [(1, 1, 1), (0, 1, 1)])
 def test_strided_conv_matches_dense(padding):
