@@ -30,6 +30,41 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 A100_FPS_ESTIMATE = 10.0
 
 
+def _wait_for_backend(max_wait_s: float = 2400.0, probe_timeout_s: float = 300.0):
+    """Block until the JAX backend answers (the axon TPU tunnel drops for
+    minutes-to-hours at a time; observed 2 h+ outages).
+
+    A failed/hung PJRT init poisons the process, so probe `jax.devices()`
+    in SUBPROCESSES until one succeeds, then initialize here. Returns
+    silently for healthy backends (CPU runs answer on the first probe).
+    """
+    import subprocess
+    import time as _t
+
+    deadline = _t.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=probe_timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if _t.time() > deadline:
+            # proceed anyway: let the real init produce the loud error
+            print(f"# backend probe gave up after {attempt} attempts",
+                  file=sys.stderr)
+            return
+        print(f"# backend unavailable (attempt {attempt}); retrying...",
+              file=sys.stderr)
+        _t.sleep(30)
+
+
 def _enable_compile_cache():
     from fullysparsefusion_tpu.utils.cache import enable_compile_cache
 
@@ -164,6 +199,7 @@ def measure_train_step(cfg, model, vars_, pb, cam):
 
 
 def main():
+    _wait_for_backend()
     import jax
 
     cfg, model, vars_, pb, cam = build_bench_model()
