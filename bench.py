@@ -42,26 +42,33 @@ def _wait_for_backend(max_wait_s: float = 2400.0, probe_timeout_s: float = 300.0
     import time as _t
 
     deadline = _t.time() + max_wait_s
-    attempt = 0
+    attempt = fast_failures = 0
     while True:
         attempt += 1
+        t0 = _t.time()
+        err = ""
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; jax.devices(); print('ok')"],
-                timeout=probe_timeout_s, capture_output=True,
+                timeout=probe_timeout_s, capture_output=True, text=True,
             )
             if r.returncode == 0:
                 return
+            err = (r.stderr or "").strip().splitlines()[-3:]
+            # an immediate nonzero exit is a broken env, not an outage —
+            # don't burn 40 min retrying it
+            fast_failures = fast_failures + 1 if _t.time() - t0 < 10 else 0
         except subprocess.TimeoutExpired:
-            pass
-        if _t.time() > deadline:
+            err = ["probe timed out (tunnel dialing)"]
+            fast_failures = 0
+        if _t.time() > deadline or fast_failures >= 3:
             # proceed anyway: let the real init produce the loud error
-            print(f"# backend probe gave up after {attempt} attempts",
-                  file=sys.stderr)
+            print(f"# backend probe gave up after {attempt} attempts: "
+                  + " | ".join(err), file=sys.stderr)
             return
-        print(f"# backend unavailable (attempt {attempt}); retrying...",
-              file=sys.stderr)
+        print(f"# backend unavailable (attempt {attempt}): "
+              + " | ".join(err), file=sys.stderr)
         _t.sleep(30)
 
 
@@ -98,9 +105,11 @@ def build_bench_model():
             c * batch for c in (57344, 40960, 24576, 8192, 2560)),
         unet_dense_min_occupancy=float(
             os.environ.get("FSF_BENCH_DENSE_OCC", 0.15)),
+        # rate ≤ 0 (incl. "0") means OFF, same as unset
         unet_compact_pair_rate=(
             float(os.environ["FSF_BENCH_COMPACT_RATE"])
-            if os.environ.get("FSF_BENCH_COMPACT_RATE") else None),
+            if float(os.environ.get("FSF_BENCH_COMPACT_RATE") or 0) > 0
+            else None),
     )
     cfg = FSFConfig(fsd=FSDConfig(caps=caps, segmentor=seg))
 

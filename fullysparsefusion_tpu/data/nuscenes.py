@@ -40,6 +40,17 @@ NUSC_CAMERA_ORDER = (
 )
 
 
+def ordered_cam_names(cams: Dict[str, Dict]) -> List[str]:
+    """Canonical camera enumeration shared by every consumer of a ``cams``
+    dict (this reader and tools/generate_masks.py): standard nuScenes
+    names first in NUSC_CAMERA_ORDER, then any non-standard names sorted —
+    deterministic regardless of dict insertion order, so mask rows and
+    lidar2img rows always pair up."""
+    std = [n for n in NUSC_CAMERA_ORDER if n in cams]
+    extra = sorted(n for n in cams if n not in NUSC_CAMERA_ORDER)
+    return std + extra
+
+
 def lidar2img_from_cams(cams: Dict[str, Dict]) -> np.ndarray:
     """[num_cams, 4, 4] lidar→image matrices from an mmdet3d info pickle's
     per-camera ``cams`` entries.
@@ -48,12 +59,9 @@ def lidar2img_from_cams(cams: Dict[str, Dict]) -> np.ndarray:
     reference derives it in ``get_data_info`` (mmdet3d
     nuscenes_dataset.py) from ``sensor2lidar_rotation/translation`` and
     ``cam_intrinsic`` — this reproduces that math exactly (row-vector
-    build, transposed at the end). Cameras follow NUSC_CAMERA_ORDER when
-    all six are present, else the dict's insertion order.
+    build, transposed at the end). Camera rows follow ordered_cam_names.
     """
-    names = [n for n in NUSC_CAMERA_ORDER if n in cams]
-    if len(names) != len(cams):
-        names = list(cams.keys())
+    names = ordered_cam_names(cams)
     mats = []
     for name in names:
         ci = cams[name]

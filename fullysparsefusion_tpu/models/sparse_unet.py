@@ -181,7 +181,8 @@ class SparseUNet(nn.Module):
         """(forward, backward) compact pair lists for stage ``i`` (both None
         when compaction is off for the stage; backward only under train —
         one extra scatter per stage, amortized over the stage's convs)."""
-        if self.compact_pair_rate is None or i not in self.compact_stages:
+        if (self.compact_pair_rate is None or self.compact_pair_rate <= 0.0
+                or i not in self.compact_stages):
             return None, None
         k3, cap = rb.rows.shape
         pair_cap = -(-int(k3 * cap * self.compact_pair_rate) // 256) * 256

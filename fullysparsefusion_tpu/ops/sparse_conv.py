@@ -201,10 +201,18 @@ class CompactRulebook:
     starts[i] = first pair index of output i (starts[cap] = total pairs,
                clipped to the static pair capacity; overflow pairs are
                dropped from the tail, standard capacity discipline).
+    n_dropped = traced scalar count of pairs beyond the capacity. NOTE:
+               under overflow the custom VJPs still differentiate the
+               UNTRUNCATED conv (the backward's full/mirrored pair maps
+               don't know which tail pairs the forward dropped), so
+               gradients are approximate by ~the dropped fraction — size
+               pair budgets with margin over the measured hit rate and
+               assert n_dropped == 0 outside jit where exactness matters.
     """
 
-    ysrc: jax.Array    # [pair_cap] int32
-    starts: jax.Array  # [cap+1] int32
+    ysrc: jax.Array      # [pair_cap] int32
+    starts: jax.Array    # [cap+1] int32
+    n_dropped: jax.Array  # [] int32
 
 
 def build_compact_rulebook(rb: Rulebook, pair_capacity: int) -> CompactRulebook:
@@ -233,6 +241,7 @@ def build_compact_rulebook(rb: Rulebook, pair_capacity: int) -> CompactRulebook:
     return CompactRulebook(
         ysrc=kk * (cap + 1) + src,
         starts=starts.clip(0, pair_capacity),
+        n_dropped=jnp.maximum(starts[-1] - pair_capacity, 0),
     )
 
 

@@ -100,20 +100,20 @@ NUSC_CLASSES = (
     "motorcycle", "bicycle", "pedestrian", "traffic_cone",
 )
 COCO_TO_NUSC = {1: 8, 2: 7, 3: 0, 4: 6, 6: 3, 8: 1}
-# nuScenes camera order used when infos carry a 'cams' dict; matches the
-# row order of the lidar2img stack built by tools/prepare scripts.
-NUSC_CAM_ORDER = (
-    "CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT",
-    "CAM_BACK", "CAM_BACK_LEFT", "CAM_BACK_RIGHT",
-)
 
 
 def load_sample_images(info, data_root):
-    """[H,W,3] uint8 per camera from an mmdet3d-schema info record."""
+    """[H,W,3] uint8 per camera from an mmdet3d-schema info record.
+
+    Camera order MUST match the reader's lidar2img rows — both use
+    data.nuscenes.ordered_cam_names (canonical nuScenes names first, any
+    extras sorted after)."""
     from PIL import Image
 
+    from fullysparsefusion_tpu.data.nuscenes import ordered_cam_names
+
     cams = info.get("cams", {})
-    names = [c for c in NUSC_CAM_ORDER if c in cams] or sorted(cams)
+    names = ordered_cam_names(cams)
     images = []
     for c in names:
         path = cams[c]["data_path"]

@@ -130,14 +130,20 @@ def run_case(cap, cin, cout, hit_rate, h_cap, label):
     from fullysparsefusion_tpu.ops import sparse_conv as sc
 
     rb = sc.Rulebook(rows=rows, hits=hits)
-    crb = jax.jit(lambda: sc.build_compact_rulebook(rb, h_cap))()
+    crb = jax.jit(sc.build_compact_rulebook, static_argnums=1)(rb, h_cap)
+    crb_b = jax.jit(sc.build_compact_rulebook, static_argnums=1)(
+        sc.mirror_rulebook(rb), h_cap)
+    # rb/w/crb as ARGUMENTS, not closures — closed-over arrays become HLO
+    # constants and blow the remote-compile request limit (CLAUDE.md)
     t_lib_full = bench(
-        lambda f: sc.subm_conv_apply(f, valid, rb, w), feats)
+        lambda f, rb, w: sc.subm_conv_apply(f, valid, rb, w), feats, rb, w)
     t_lib_comp = bench(
-        lambda f: sc.subm_conv_apply(f, valid, rb, w, crb=crb), feats)
+        lambda f, rb, w, crb: sc.subm_conv_apply(f, valid, rb, w, crb=crb),
+        feats, rb, w, crb)
     t_lib_comp_g = bench(jax.grad(
-        lambda f: sc.subm_conv_apply(
-            f, valid, rb, w, crb=crb).astype(jnp.float32).sum()), feats)
+        lambda f, rb, w, crb, crb_b: sc.subm_conv_apply(
+            f, valid, rb, w, crb=crb, crb_bwd=crb_b
+        ).astype(jnp.float32).sum()), feats, rb, w, crb, crb_b)
 
     print(f"{label}: cap={cap} {cin}->{cout} hit={hit_rate:.0%} h_cap={h_cap}")
     print(f"  full-cap conv:   {t_full:7.2f} ms")
