@@ -78,6 +78,7 @@ class _DownBlock(nn.Module):
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (2, 2, 2)
     dense_min_occupancy: float = 0.15
+    compact_pair_capacity: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -99,6 +100,7 @@ class _DownBlock(nn.Module):
             out = sparse_conv3d(
                 st, w, None, self.kernel_size, self.stride, self.padding,
                 self.out_capacity, compute_dtype=jnp.bfloat16, src_t3=src_t3,
+                compact_pair_capacity=self.compact_pair_capacity,
             )
         y = MaskedBatchNorm()(out.feats, out.valid, train)
         y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
@@ -110,6 +112,7 @@ class _UpBlock(nn.Module):
     padding: Tuple[int, int, int]
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (2, 2, 2)
+    compact_pair_capacity: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -136,6 +139,7 @@ class _UpBlock(nn.Module):
             self.padding,
             compute_dtype=jnp.bfloat16,
             src_t3=src_t3,
+            compact_pair_capacity=self.compact_pair_capacity,
         )
         y = MaskedBatchNorm()(out.feats, out.valid, train)
         y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
@@ -185,11 +189,22 @@ class SparseUNet(nn.Module):
                 or i not in self.compact_stages):
             return None, None
         k3, cap = rb.rows.shape
-        pair_cap = -(-int(k3 * cap * self.compact_pair_rate) // 256) * 256
+        pair_cap = self._pair_budget(k3, cap)
         crb = build_compact_rulebook(rb, pair_cap)
         crb_b = (build_compact_rulebook(mirror_rulebook(rb), pair_cap)
                  if train else None)
         return crb, crb_b
+
+    def _pair_budget(self, k3: int, cap: int) -> int:
+        return -(-int(k3 * cap * self.compact_pair_rate) // 256) * 256
+
+    def _pair_compact_capacity(self, i: int, cap: int) -> Optional[int]:
+        """Pair budget for the strided/inverse conv whose OUTPUT/TARGET set
+        is stage ``i`` with capacity ``cap`` (None = full-capacity form)."""
+        if (self.compact_pair_rate is None or self.compact_pair_rate <= 0.0
+                or i not in self.compact_stages):
+            return None
+        return self._pair_budget(27, cap)
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False) -> jax.Array:
@@ -220,6 +235,8 @@ class SparseUNet(nn.Module):
                         padding=tuple(self.encoder_strided_paddings[i - 1]),
                         out_capacity=out_cap,
                         dense_min_occupancy=self.dense_min_occupancy,
+                        compact_pair_capacity=self._pair_compact_capacity(
+                            i, out_cap),
                         name=f"enc{i}_down",
                     )(st, train, src_t3=t3s[i - 1])
                     t3s.append(_x_triplet_table(st) if _use_dense(st) else None)
@@ -242,6 +259,8 @@ class SparseUNet(nn.Module):
             x = _UpBlock(
                 widths[-1],
                 padding=tuple(self.encoder_strided_paddings[enc_stage - 1]),
+                compact_pair_capacity=self._pair_compact_capacity(
+                    enc_stage - 1, target.capacity),
                 name=f"dec{d}_up",
             )(y, target, train, src_t3=t3s[enc_stage])
 

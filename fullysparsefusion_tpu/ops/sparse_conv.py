@@ -215,13 +215,22 @@ class CompactRulebook:
     n_dropped: jax.Array  # [] int32
 
 
-def build_compact_rulebook(rb: Rulebook, pair_capacity: int) -> CompactRulebook:
-    """Compact a Rulebook to its hit pairs (one unique-index scatter)."""
+def build_compact_rulebook(
+    rb: Rulebook, pair_capacity: int, src_capacity: Optional[int] = None,
+) -> CompactRulebook:
+    """Compact a Rulebook to its hit pairs (one unique-index scatter).
+
+    ``src_capacity`` is the capacity of the set the rows point INTO —
+    defaults to the rulebook's own (submanifold convs); pair convs
+    (strided/inverse) pass the input set's capacity since it differs
+    from the output's.
+    """
     k3, cap = rb.rows.shape
+    src_cap = cap if src_capacity is None else src_capacity
     # payload packs src into 20 bits and the tap index above — holds for
     # every shipped capacity (57k stage-0 × batch ≤ 16); widen to uint64
     # before raising this
-    assert cap < (1 << 20) and k3 <= (1 << 11), (k3, cap)
+    assert src_cap < (1 << 20) and k3 <= (1 << 11), (k3, src_cap)
     hits_t = rb.hits.T.astype(jnp.int32)                    # [cap, K³]
     rank = jnp.cumsum(hits_t, axis=1) - 1
     cnt = hits_t.sum(axis=1)
@@ -239,7 +248,7 @@ def build_compact_rulebook(rb: Rulebook, pair_capacity: int) -> CompactRulebook:
     src = (compact & 0xFFFFF).astype(jnp.int32)
     kk = (compact >> 20).astype(jnp.int32)
     return CompactRulebook(
-        ysrc=kk * (cap + 1) + src,
+        ysrc=kk * (src_cap + 1) + src,
         starts=starts.clip(0, pair_capacity),
         n_dropped=jnp.maximum(starts[-1] - pair_capacity, 0),
     )
@@ -986,6 +995,49 @@ def _pair_conv_bwd(static, res, g):
 _pair_conv_core.defvjp(_pair_conv_fwd, _pair_conv_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pair_conv_core_compact(cdtype_name, feats, w, out_valid, in_valid,
+                            rows_fwd, ysrc, starts, ysrc_b, starts_b):
+    """Pair conv (strided/inverse) through compacted hit pairs.
+
+    ``ysrc/starts`` compact the forward pair map (rows into the INPUT
+    set, out-major); ``ysrc_b/starts_b`` compact the backward query
+    (rows into the OUTPUT set, in-major — the same per-tap wᵀ pairing
+    _pair_conv_bwd uses). d_w keeps the full-capacity row gathers.
+    """
+    cdtype = jnp.dtype(cdtype_name)
+    fz = _append_zero_row(feats).astype(cdtype)
+    return _compact_conv_sum(fz, w, out_valid, ysrc, starts, cdtype)
+
+
+def _pair_conv_compact_fwd(cdtype_name, feats, w, out_valid, in_valid,
+                           rows_fwd, ysrc, starts, ysrc_b, starts_b):
+    out = _pair_conv_core_compact(
+        cdtype_name, feats, w, out_valid, in_valid,
+        rows_fwd, ysrc, starts, ysrc_b, starts_b)
+    return out, (feats, w, out_valid, in_valid, rows_fwd, ysrc_b, starts_b)
+
+
+def _pair_conv_compact_bwd(cdtype_name, res, g):
+    feats, w, out_valid, in_valid, rows_fwd, ysrc_b, starts_b = res
+    cdtype = jnp.dtype(cdtype_name)
+    g = g * out_valid[:, None].astype(g.dtype)
+    gz = _append_zero_row(g).astype(cdtype)
+    wT = w.transpose(0, 2, 1)
+    d_feats = _compact_conv_sum(
+        gz, wT, in_valid, ysrc_b, starts_b, cdtype).astype(feats.dtype)
+    f16 = _append_zero_row(feats).astype(cdtype)
+    d_w = jnp.stack([
+        jnp.dot(f16[rows_fwd[ki]].T, g.astype(cdtype),
+                preferred_element_type=jnp.float32)
+        for ki in range(rows_fwd.shape[0])
+    ]).astype(w.dtype)
+    return d_feats, d_w, None, None, None, None, None, None, None
+
+
+_pair_conv_core_compact.defvjp(_pair_conv_compact_fwd, _pair_conv_compact_bwd)
+
+
 def sparse_conv3d(
     st: SparseTensor,
     w: jax.Array,
@@ -996,11 +1048,15 @@ def sparse_conv3d(
     out_capacity: int,
     compute_dtype=None,
     src_t3: Optional[jax.Array] = None,
+    compact_pair_capacity: Optional[int] = None,
 ) -> SparseTensor:
     """Regular (strided) sparse conv: generates a new active set.
 
     out[y] = Σ_k in[y·s − p + k] @ w[k]. ``src_t3`` reuses the input set's
     x-triplet table (ops cost, built anyway for the stage's rulebook).
+    ``compact_pair_capacity`` routes the conv (and its d_feats) through
+    compacted hit-pair lists — see CompactRulebook for the semantics and
+    the overflow caveat.
     """
     out_coords, out_batch, out_valid, out_dims = downsample_coords(
         st, kernel_size, stride, padding, out_capacity
@@ -1011,14 +1067,31 @@ def sparse_conv3d(
         st.dims, st.batch_size, kernel_size, stride, padding, "mul",
         tgt_t3=src_t3,
     )
-    static = (tuple(kernel_size), tuple(stride), tuple(padding),
-              tuple(st.dims), tuple(out_dims), st.batch_size,
-              cdtype.name, "div")
     w, b = _pvary_params(w, b)
-    out = _pair_conv_core(
-        static, st.feats, w, out_valid, rows,
-        st.coords, st.batch, st.valid, out_coords, out_batch,
-    )
+    if compact_pair_capacity is not None:
+        in_cap = st.capacity
+        crb = build_compact_rulebook(
+            Rulebook(rows=rows, hits=rows != in_cap),
+            compact_pair_capacity, src_capacity=in_cap)
+        rows_b = _pair_query_rows(
+            st.coords, st.batch, st.valid, out_coords, out_batch, out_valid,
+            out_dims, st.batch_size, kernel_size, stride, padding, "div",
+        )
+        crb_b = build_compact_rulebook(
+            Rulebook(rows=rows_b, hits=rows_b != out_capacity),
+            compact_pair_capacity, src_capacity=out_capacity)
+        out = _pair_conv_core_compact(
+            cdtype.name, st.feats, w, out_valid, st.valid, rows,
+            crb.ysrc, crb.starts, crb_b.ysrc, crb_b.starts,
+        )
+    else:
+        static = (tuple(kernel_size), tuple(stride), tuple(padding),
+                  tuple(st.dims), tuple(out_dims), st.batch_size,
+                  cdtype.name, "div")
+        out = _pair_conv_core(
+            static, st.feats, w, out_valid, rows,
+            st.coords, st.batch, st.valid, out_coords, out_batch,
+        )
     if b is not None:
         out = out + b * out_valid[:, None].astype(out.dtype)
     return SparseTensor(
@@ -1040,12 +1113,15 @@ def sparse_inverse_conv3d(
     padding: Tuple[int, int, int],
     compute_dtype=None,
     src_t3: Optional[jax.Array] = None,
+    compact_pair_capacity: Optional[int] = None,
 ) -> SparseTensor:
     """Inverse conv: upsample ``st`` onto a recorded finer active set.
 
     Inverts a paired strided conv: target t receives from coarse y where
     t = y·s − p + k  ⇔  y = (t + p − k)/s (exact division required).
     ``src_t3`` reuses the coarse set's x-triplet table.
+    ``compact_pair_capacity`` routes the conv (and its d_feats) through
+    compacted hit-pair lists — see CompactRulebook.
     """
     cdtype = jnp.dtype(compute_dtype or st.feats.dtype)
     rows = _pair_query_rows(
@@ -1053,14 +1129,33 @@ def sparse_inverse_conv3d(
         st.valid, st.dims, st.batch_size, kernel_size, stride, padding, "div",
         tgt_t3=src_t3,
     )
-    static = (tuple(kernel_size), tuple(stride), tuple(padding),
-              tuple(st.dims), tuple(target_dims), st.batch_size,
-              cdtype.name, "mul")
     w, b = _pvary_params(w, b)
-    out = _pair_conv_core(
-        static, st.feats, w, target_valid, rows,
-        st.coords, st.batch, st.valid, target_coords, target_batch,
-    )
+    if compact_pair_capacity is not None:
+        in_cap = st.capacity
+        tgt_cap = target_coords.shape[0]
+        crb = build_compact_rulebook(
+            Rulebook(rows=rows, hits=rows != in_cap),
+            compact_pair_capacity, src_capacity=in_cap)
+        rows_b = _pair_query_rows(
+            st.coords, st.batch, st.valid, target_coords, target_batch,
+            target_valid, target_dims, st.batch_size, kernel_size, stride,
+            padding, "mul",
+        )
+        crb_b = build_compact_rulebook(
+            Rulebook(rows=rows_b, hits=rows_b != tgt_cap),
+            compact_pair_capacity, src_capacity=tgt_cap)
+        out = _pair_conv_core_compact(
+            cdtype.name, st.feats, w, target_valid, st.valid, rows,
+            crb.ysrc, crb.starts, crb_b.ysrc, crb_b.starts,
+        )
+    else:
+        static = (tuple(kernel_size), tuple(stride), tuple(padding),
+                  tuple(st.dims), tuple(target_dims), st.batch_size,
+                  cdtype.name, "mul")
+        out = _pair_conv_core(
+            static, st.feats, w, target_valid, rows,
+            st.coords, st.batch, st.valid, target_coords, target_batch,
+        )
     if b is not None:
         out = out + b * target_valid[:, None].astype(out.dtype)
     return SparseTensor(

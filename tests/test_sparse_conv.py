@@ -155,6 +155,76 @@ def test_compact_rulebook_conv_matches_full(seed):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("op", ["strided", "inverse"])
+def test_compact_pair_conv_matches_full(op):
+    """Strided/inverse convs through compacted pair lists == the
+    full-capacity pair-gather form, outputs AND both gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    cin, cout = 4, 6
+    st, _, _, _, n = _make_sparse(5, cin)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+    k, s, p = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+
+    if op == "strided":
+        def run(pair_cap):
+            return sparse_conv3d(
+                st, w, None, k, s, p, out_capacity=128,
+                compute_dtype=jnp.float32, compact_pair_capacity=pair_cap)
+    else:
+        down = sparse_conv3d(st, w, None, k, s, p, out_capacity=128,
+                             compute_dtype=jnp.float32)
+        st2 = down.replace(
+            feats=jnp.asarray(rng.normal(
+                size=down.feats.shape).astype(np.float32))
+            * down.valid[:, None])
+        w2 = jnp.asarray(
+            rng.normal(size=(27, cout, 5)).astype(np.float32) * 0.1)
+
+        def run(pair_cap):
+            return sparse_inverse_conv3d(
+                st2, st.coords, st.batch,
+                st.valid, st.dims, w2, None, k, s, p,
+                compute_dtype=jnp.float32, compact_pair_capacity=pair_cap)
+
+    full = run(None)
+    comp = run(27 * 128 if op == "strided" else 27 * st.capacity)
+    np.testing.assert_allclose(
+        np.asarray(comp.feats), np.asarray(full.feats), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(comp.valid), np.asarray(full.valid))
+
+    # gradients (d_feats through the compacted backward query + d_w)
+    if op == "strided":
+        def loss(feats_in, ww, pair_cap):
+            out = sparse_conv3d(
+                st.replace(feats=feats_in), ww, None, k, s, p,
+                out_capacity=128, compute_dtype=jnp.float32,
+                compact_pair_capacity=pair_cap)
+            return jnp.sum(out.feats ** 2)
+
+        args = (st.feats, w)
+    else:
+        def loss(feats_in, ww, pair_cap):
+            out = sparse_inverse_conv3d(
+                st2.replace(feats=feats_in), st.coords, st.batch, st.valid,
+                st.dims, ww, None, k, s, p, compute_dtype=jnp.float32,
+                compact_pair_capacity=pair_cap)
+            return jnp.sum(out.feats ** 2)
+
+        args = (st2.feats, w2)
+
+    cap_pairs = 27 * 128 if op == "strided" else 27 * st.capacity
+    gf_c, gw_c = jax.grad(loss, argnums=(0, 1))(*args, cap_pairs)
+    gf_f, gw_f = jax.grad(loss, argnums=(0, 1))(*args, None)
+    np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_f),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_f),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("padding", [(1, 1, 1), (0, 1, 1)])
 def test_strided_conv_matches_dense(padding):
     rng = np.random.default_rng(42)
