@@ -110,6 +110,9 @@ def build_bench_model():
             float(os.environ["FSF_BENCH_COMPACT_RATE"])
             if float(os.environ.get("FSF_BENCH_COMPACT_RATE") or 0) > 0
             else None),
+        # stages 0-1 are the gather-path stages at bench occupancies
+        # (stage 2+ take the dense MXU path — compact would be unused)
+        unet_compact_stages=(0, 1),
     )
     cfg = FSFConfig(fsd=FSDConfig(caps=caps, segmentor=seg))
 
