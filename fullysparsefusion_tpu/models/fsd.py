@@ -173,9 +173,10 @@ def hybrid_cluster_one_group(
     single_stage_fsd.py:1087-1177): 'ccl' → connected components,
     'ssg' → FPS + ball grouping.
 
-    In the 'ssg' path the per-sample loop is unrolled to a static bound:
-    pass ``batch_size`` (the static batch) and it is used directly; with
-    only ``max_batch`` given, samples with batch_idx ≥ max_batch would
+    The 'ssg' path vmaps over batch elements (one fused FPS scan with
+    batched operands instead of ``batch_size`` unrolled scans): pass
+    ``batch_size`` (the static batch) and it is used directly; with only
+    ``max_batch`` given, samples with batch_idx ≥ max_batch would
     silently get no clusters, so prefer ``batch_size``.
     """
     if method == "ccl":
@@ -185,11 +186,17 @@ def hybrid_cluster_one_group(
     if batch_size is not None:
         max_batch = batch_size
     # ssg operates per batch element; offset labels to keep them disjoint
-    lab = jnp.full(centers.shape[:1], -1, jnp.int32)
-    for b in range(max_batch):
-        m = valid & (batch_idx == b)
-        lab_b = ssg_cluster(centers, batch_idx, m, num_fps, radius)
-        lab = jnp.where(m & (lab_b >= 0), lab_b + b * num_fps, lab)
+    masks = valid[None, :] & (
+        batch_idx[None, :] == jnp.arange(max_batch, dtype=batch_idx.dtype)[:, None]
+    )
+    lab_all = jax.vmap(
+        lambda m: ssg_cluster(centers, batch_idx, m, num_fps, radius)
+    )(masks)                                         # [max_batch, K]
+    own = lab_all[batch_idx.clip(0, max_batch - 1), jnp.arange(centers.shape[0])]
+    in_range = batch_idx < max_batch
+    lab = jnp.where(
+        valid & in_range & (own >= 0), own + batch_idx * num_fps, -1
+    ).astype(jnp.int32)
     return lab, valid & (lab >= 0)
 
 

@@ -35,6 +35,51 @@ def test_ssg_cluster_two_blobs():
     assert len(set(lab[:25]) & set(lab[25:])) == 0  # blobs never share a center
 
 
+def test_hybrid_cluster_ssg_dispatch_multi_batch():
+    # the ssg dispatch must keep per-sample labels disjoint and cover
+    # samples beyond the old batch≤8 unroll bound
+    from fullysparsefusion_tpu.config import FSDConfig
+    from fullysparsefusion_tpu.models.fsd import hybrid_cluster_one_group
+
+    rng = np.random.default_rng(4)
+    bsz, per = 10, 30
+    blobs = []
+    for b in range(bsz):
+        blobs.append(rng.normal(0, 0.2, (per // 2, 3)))
+        blobs.append(rng.normal(15, 0.2, (per // 2, 3)))
+    xyz = jnp.asarray(np.concatenate(blobs).astype(np.float32))
+    batch_idx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), per)
+    valid = jnp.ones((bsz * per,), bool)
+    lab, ok = hybrid_cluster_one_group(
+        xyz, batch_idx, valid, 0, FSDConfig(), method="ssg",
+        num_fps=4, radius=2.0, batch_size=bsz,
+    )
+    lab, ok = np.asarray(lab), np.asarray(ok)
+    assert ok.all()
+    bi = np.asarray(batch_idx)
+    for b in range(bsz):
+        mine, others = set(lab[bi == b]), set(lab[bi != b])
+        assert not mine & others  # labels disjoint across samples
+        two = lab[bi == b]
+        assert len(set(two[: per // 2]) & set(two[per // 2:])) == 0
+
+
+def test_hybrid_cluster_ssg_invalid_rows_stay_invalid():
+    from fullysparsefusion_tpu.config import FSDConfig
+    from fullysparsefusion_tpu.models.fsd import hybrid_cluster_one_group
+
+    xyz = jnp.asarray(
+        np.random.default_rng(5).normal(0, 0.3, (40, 3)).astype(np.float32))
+    batch_idx = jnp.zeros((40,), jnp.int32)
+    valid = jnp.asarray(np.arange(40) < 25)
+    lab, ok = hybrid_cluster_one_group(
+        xyz, batch_idx, valid, 0, FSDConfig(), method="ssg",
+        num_fps=4, radius=2.0, batch_size=1,
+    )
+    lab, ok = np.asarray(lab), np.asarray(ok)
+    assert (lab[25:] == -1).all() and not ok[25:].any()
+
+
 def test_abs_coder_roundtrip():
     rng = np.random.default_rng(3)
     boxes = np.concatenate(
