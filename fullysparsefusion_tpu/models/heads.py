@@ -217,6 +217,18 @@ def cluster_head_loss(
             jnp.abs(iou_logits - iou_labels) * cluster_valid
         ) / jnp.maximum(cls_avg, 1.0)
 
+    # assignment recall diagnostic (sparse_cluster_head.py:442-450): fraction
+    # of valid GT boxes claimed by at least one positive cluster. Scatter-free
+    # (one [G, C] compare that XLA fuses); globally synced like the avg
+    # factors so DP logs match single-device. Key carries no "loss" substring
+    # so the total-loss filter excludes it.
+    flat_ok = gt.valid.reshape(b * m) & (flat_labels >= 0)
+    claimed = jnp.any(
+        (assign[None, :] == jnp.arange(b * m)[:, None]) & pos[None, :], axis=1
+    )
+    losses[prefix + "assign_recall"] = mesh_mean(
+        jnp.sum((claimed & flat_ok).astype(jnp.float32))
+    ) / jnp.maximum(mesh_mean(jnp.sum(flat_ok.astype(jnp.float32))), 1.0)
     losses[prefix + "num_pos"] = num_pos
     return losses
 

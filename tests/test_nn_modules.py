@@ -250,6 +250,49 @@ def test_cluster_head_iou_branch_and_corner_loss():
     assert norm > 0
 
 
+def test_cluster_head_assign_recall_diagnostic():
+    """assign_recall (sparse_cluster_head.py:442-450): fraction of valid GT
+    claimed by ≥1 positive cluster — 0.5 when one of two GT is covered."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fullysparsefusion_tpu.config import HeadConfig
+    from fullysparsefusion_tpu.models.heads import cluster_head_loss
+    from fullysparsefusion_tpu.utils.containers import GroundTruth
+
+    cfg = HeadConfig(
+        in_channel=8, shared_mlp_dims=(8,),
+        common_attrs=(("center", 3, 1, 8), ("dim", 3, 1, 8),
+                      ("rot", 2, 1, 8), ("vel", 2, 1, 8)),
+        num_cls_layer=1, cls_hidden_dim=8, num_classes=2,
+    )
+    boxes = np.zeros((1, 2, 10), np.float32)
+    boxes[0, 0, :7] = [0, 0, 0, 6, 6, 4, 0.0]
+    boxes[0, 1, :7] = [50, 50, 0, 6, 6, 4, 0.0]  # never claimed
+    gt = GroundTruth(
+        boxes=jnp.asarray(boxes),
+        labels=jnp.asarray([[0, 1]], np.int32),
+        valid=jnp.asarray([[True, True]]),
+    )
+    xyz = jnp.asarray([[0.2, 0.0, 0.0], [30.0, 0.0, 0.0]], jnp.float32)
+    batch = jnp.zeros(2, jnp.int32)
+    valid = jnp.ones(2, bool)
+    losses = cluster_head_loss(
+        jnp.zeros((2, 2), jnp.float32), jnp.zeros((2, 10), jnp.float32),
+        xyz, batch, valid, gt, cfg,
+    )
+    np.testing.assert_allclose(float(losses["assign_recall"]), 0.5)
+    # an invalid second GT makes recall 1.0 (denominator counts valid only)
+    gt2 = GroundTruth(
+        boxes=gt.boxes, labels=gt.labels,
+        valid=jnp.asarray([[True, False]]),
+    )
+    l2 = cluster_head_loss(
+        jnp.zeros((2, 2), jnp.float32), jnp.zeros((2, 10), jnp.float32),
+        xyz, batch, valid, gt2, cfg,
+    )
+    np.testing.assert_allclose(float(l2["assign_recall"]), 1.0)
+
+
 def test_cluster_head_dist_label_mode():
     """IoU-branch 'dist' labeling (frustum_cluster_head.py get_dist_labels
     :475-500): positives get a BEV-distance ramp 1→0 between the two

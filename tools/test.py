@@ -46,6 +46,11 @@ def parse_args():
                    help="comma-separated yaw rotations in radians")
     p.add_argument("--tta-scales", default="1.0")
     p.add_argument("--tta-no-flip", action="store_true")
+    # debug visualization dumps (reference hooks gate on vis_dir:
+    # frustum_assigner.py:171-232, frustum_cluster_head.py:325-366)
+    p.add_argument("--vis-dir", help="write per-sample BEV (+camera) debug PNGs")
+    p.add_argument("--vis-max", type=int, default=8,
+                   help="max samples to visualize")
     # multi-host gather (reference tools/test.py gpu_collect / tmpdir)
     p.add_argument("--tmpdir", help="shard-file collect dir for multi-host eval")
     p.add_argument("--cpu", action="store_true", help="force host CPU backend")
@@ -243,6 +248,30 @@ def main():
         return (np.asarray(res.boxes)[v], np.asarray(res.scores)[v],
                 np.asarray(res.labels)[v])
 
+    n_vis = 0
+
+    def maybe_visualize(s, pb, cam, boxes, scores):
+        nonlocal n_vis
+        if not args.vis_dir or n_vis >= args.vis_max:
+            return
+        from fullysparsefusion_tpu.utils.visualize import (
+            dump_bev, dump_camera_assignment,
+        )
+
+        v = np.asarray(pb.valid)
+        dump_bev(
+            os.path.join(args.vis_dir, f"{s['token']}_bev.png"),
+            np.asarray(pb.points)[:, :3], point_valid=v,
+            gt_boxes=s.get("gt_boxes"), pred_boxes=boxes, pred_scores=scores,
+            title=str(s["token"]),
+        )
+        if cam is not None:
+            dump_camera_assignment(
+                os.path.join(args.vis_dir, f"{s['token']}_cam0.png"),
+                np.asarray(cam.masks[0, 0]), title=f"{s['token']} cam0 masks",
+            )
+        n_vis += 1
+
     records, all_results = [], []
     n_total = min(len(reader), args.max_samples) if args.max_samples else len(reader)
     # multi-host: each process owns idx % world (reference multi_gpu_test)
@@ -254,6 +283,7 @@ def main():
     for i in own.tolist():
         s, pb, cam = build_batch(i)
         boxes, scores, labels = infer_sample(s, pb, cam)
+        maybe_visualize(s, pb, cam, boxes, scores)
         all_results.append(
             dict(token=s["token"], boxes=boxes.tolist(), scores=scores.tolist(),
                  labels=labels.tolist())
