@@ -14,7 +14,7 @@ shapes).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 NUSC_CLASS_NAMES = (
     "car", "truck", "trailer", "bus", "construction_vehicle",
@@ -90,8 +90,9 @@ class VoteSegmentorConfig:
     unet_dense_min_occupancy: float = 0.15
     # when set, UNet stages in unet_compact_stages run their submanifold
     # convs through a pair-compacted rulebook budgeted at
-    # rate·K³·capacity hit pairs (models/sparse_unet.SparseUNet)
-    unet_compact_pair_rate: Optional[float] = None
+    # rate·K³·capacity hit pairs (models/sparse_unet.SparseUNet); a scalar
+    # applies to every compact stage, a tuple gives per-stage rates
+    unet_compact_pair_rate: Optional[Union[float, Tuple[float, ...]]] = None
     unet_compact_stages: Tuple[int, ...] = (0,)
     head_hidden_dims: Tuple[int, ...] = (128, 128)
     # losses

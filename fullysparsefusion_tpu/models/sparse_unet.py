@@ -14,7 +14,7 @@ dataset (SURVEY.md §7 "static-capacity bucketing").
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -175,9 +175,20 @@ class SparseUNet(nn.Module):
     # through a pair-compacted rulebook (ops/sparse_conv.CompactRulebook)
     # sized to rate·K³·capacity hit pairs — a traffic win when the stage's
     # tap hit rate is well below the rate (stage 0 measures ~14.5 %);
-    # pairs beyond the budget are dropped out-major from the tail
-    compact_pair_rate: Optional[float] = None
+    # pairs beyond the budget are dropped out-major from the tail. Either
+    # one rate for every compact stage or a per-stage sequence (entries ≤ 0
+    # disable that stage; deeper stages have higher hit rates, so per-stage
+    # budgets avoid stage-0 waste vs stage-1 overflow).
+    compact_pair_rate: Optional[Union[float, Sequence[float]]] = None
     compact_stages: Sequence[int] = (0,)
+
+    def _stage_rate(self, i: int) -> Optional[float]:
+        r = self.compact_pair_rate
+        if r is None or i not in self.compact_stages:
+            return None
+        if not isinstance(r, (int, float)):
+            r = r[i] if i < len(r) else 0.0
+        return float(r) if r > 0.0 else None
 
     def _compact(
         self, i: int, rb: Rulebook, train: bool
@@ -185,26 +196,27 @@ class SparseUNet(nn.Module):
         """(forward, backward) compact pair lists for stage ``i`` (both None
         when compaction is off for the stage; backward only under train —
         one extra scatter per stage, amortized over the stage's convs)."""
-        if (self.compact_pair_rate is None or self.compact_pair_rate <= 0.0
-                or i not in self.compact_stages):
+        rate = self._stage_rate(i)
+        if rate is None:
             return None, None
         k3, cap = rb.rows.shape
-        pair_cap = self._pair_budget(k3, cap)
+        pair_cap = self._pair_budget(rate, k3, cap)
         crb = build_compact_rulebook(rb, pair_cap)
         crb_b = (build_compact_rulebook(mirror_rulebook(rb), pair_cap)
                  if train else None)
         return crb, crb_b
 
-    def _pair_budget(self, k3: int, cap: int) -> int:
-        return -(-int(k3 * cap * self.compact_pair_rate) // 256) * 256
+    @staticmethod
+    def _pair_budget(rate: float, k3: int, cap: int) -> int:
+        return -(-int(k3 * cap * rate) // 256) * 256
 
     def _pair_compact_capacity(self, i: int, cap: int) -> Optional[int]:
         """Pair budget for the strided/inverse conv whose OUTPUT/TARGET set
         is stage ``i`` with capacity ``cap`` (None = full-capacity form)."""
-        if (self.compact_pair_rate is None or self.compact_pair_rate <= 0.0
-                or i not in self.compact_stages):
+        rate = self._stage_rate(i)
+        if rate is None:
             return None
-        return self._pair_budget(27, cap)
+        return self._pair_budget(rate, 27, cap)
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False) -> jax.Array:

@@ -142,6 +142,15 @@ def test_sparse_unet_compact_pair_rate_matches():
     np.testing.assert_allclose(o0, o1, atol=4e-3, rtol=4e-3)
     np.testing.assert_array_equal(o1[ntot:], 0.0)
 
+    # per-stage rates: stage 1 disabled (rate 0) must still match, and a
+    # tuple scalar-equivalent must reproduce the scalar-rate output exactly
+    m2 = SparseUNet(**kw, compact_pair_rate=(1.0, 0.0), compact_stages=(0, 1))
+    o2 = np.asarray(jax.jit(lambda v: m2.apply(v, st, False))(vars_))
+    np.testing.assert_allclose(o0, o2, atol=4e-3, rtol=4e-3)
+    m3 = SparseUNet(**kw, compact_pair_rate=(1.0, 1.0), compact_stages=(0, 1))
+    o3 = np.asarray(jax.jit(lambda v: m3.apply(v, st, False))(vars_))
+    np.testing.assert_array_equal(o1, o3)
+
     # train mode builds the mirrored pair lists (two-sided compaction);
     # gradients through them track the full-capacity backward. Exact parity
     # is proven at f32 at the op level (test_compact_rulebook_conv_matches_
