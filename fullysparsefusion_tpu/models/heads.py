@@ -226,9 +226,12 @@ def cluster_head_loss(
     claimed = jnp.any(
         (assign[None, :] == jnp.arange(b * m)[:, None]) & pos[None, :], axis=1
     )
-    losses[prefix + "assign_recall"] = mesh_mean(
-        jnp.sum((claimed & flat_ok).astype(jnp.float32))
-    ) / jnp.maximum(mesh_mean(jnp.sum(flat_ok.astype(jnp.float32))), 1.0)
+    n_claimed = mesh_mean(jnp.sum((claimed & flat_ok).astype(jnp.float32)))
+    n_gt = mesh_mean(jnp.sum(flat_ok.astype(jnp.float32)))
+    # pure diagnostic ratio: no loss-normalizer clamp at 1 (it would deflate
+    # recall whenever the mean per-device GT count is fractional)
+    losses[prefix + "assign_recall"] = jnp.where(
+        n_gt > 0, n_claimed / jnp.maximum(n_gt, 1e-6), 0.0)
     losses[prefix + "num_pos"] = num_pos
     return losses
 

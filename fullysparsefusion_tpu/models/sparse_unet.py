@@ -187,7 +187,12 @@ class SparseUNet(nn.Module):
         if r is None or i not in self.compact_stages:
             return None
         if not isinstance(r, (int, float)):
-            r = r[i] if i < len(r) else 0.0
+            assert len(r) > max(self.compact_stages), (
+                f"per-stage compact_pair_rate has {len(r)} entries but "
+                f"compact_stages={tuple(self.compact_stages)} — a short "
+                "tuple would silently disable the uncovered stages"
+            )
+            r = r[i]
         return float(r) if r > 0.0 else None
 
     def _compact(

@@ -35,8 +35,13 @@ CATEGORICAL = (
 
 
 def _agg_plt():
-    import matplotlib
-
+    try:
+        import matplotlib
+    except ImportError as e:  # optional dep: only the debug dumps need it
+        raise ImportError(
+            "debug visualization needs matplotlib (pip install "
+            "fullysparsefusion-tpu[vis])"
+        ) from e
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
@@ -45,9 +50,10 @@ def _agg_plt():
 
 def bev_corners(boxes: np.ndarray) -> np.ndarray:
     """[N, 7+] boxes (x y z dx dy dz yaw ...) → [N, 4, 2] BEV corners."""
-    boxes = np.asarray(boxes, np.float32).reshape(-1, boxes.shape[-1])
-    if not len(boxes):
+    boxes = np.asarray(boxes, np.float32)
+    if boxes.size == 0:
         return np.zeros((0, 4, 2), np.float32)
+    boxes = boxes.reshape(-1, boxes.shape[-1])
     cx, cy = boxes[:, 0], boxes[:, 1]
     dx, dy, yaw = boxes[:, 3] / 2, boxes[:, 4] / 2, boxes[:, 6]
     local = np.stack(
@@ -155,10 +161,14 @@ def dump_camera_assignment(
     title: Optional[str] = None,
 ) -> str:
     """2D instance-mask + box-assignment overlay for one camera (counterpart
-    of the reference's frustum_assigner debug images). Accepts either raw id
-    planes or packed id|score<<8 uint16 textures (low byte = id)."""
+    of the reference's frustum_assigner debug images). Accepts raw id planes
+    or packed id|score<<8 uint16 textures (low byte = id), either one [H, W]
+    plane or channel-last per-class planes [H, W, cls] (instance ids are
+    global across classes — anno row + 1 — so a max over classes merges)."""
     plt = _agg_plt()
     ids = (np.asarray(mask_plane).astype(np.uint16) & 0xFF).astype(np.int32)
+    if ids.ndim == 3:
+        ids = ids.max(axis=-1)
     h, w = ids.shape
     rgb = np.zeros((h, w, 3), np.float32)
     surf = np.array([int(SURFACE[i:i + 2], 16) for i in (1, 3, 5)]) / 255.0

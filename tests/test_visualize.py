@@ -1,5 +1,8 @@
 """Debug-dump visualization (utils/visualize.py) — host-side only."""
 import numpy as np
+import pytest
+
+pytest.importorskip("matplotlib")  # optional dep: only the debug dumps
 
 from fullysparsefusion_tpu.utils.visualize import (
     bev_corners, dump_bev, dump_camera_assignment,
@@ -54,3 +57,22 @@ def test_dump_camera_assignment_packed_and_raw(tmp_path):
     )
     p2 = dump_camera_assignment(str(tmp_path / "cam_packed.png"), packed)
     assert os.path.getsize(p1) > 500 and os.path.getsize(p2) > 500
+
+
+def test_dump_camera_assignment_channel_last_planes(tmp_path):
+    # CameraData.masks samples are [H, W, cls] channel-last per-class planes
+    # (the shape tools/test.py --vis-dir passes) — merged by max over classes
+    planes = np.zeros((40, 60, 3), np.uint16)
+    planes[5:15, 10:30, 0] = 1
+    planes[20:35, 35:55, 2] = 2
+    import os
+
+    p = dump_camera_assignment(str(tmp_path / "cam_cls.png"), planes)
+    assert os.path.getsize(p) > 500
+
+
+def test_bev_corners_list_and_empty_inputs():
+    c = bev_corners([[0, 0, 0, 4.0, 2.0, 1.5, 0.0]])
+    assert c.shape == (1, 4, 2)
+    assert bev_corners(np.zeros((0, 7), np.float32)).shape == (0, 4, 2)
+    assert bev_corners([]).shape == (0, 4, 2)
