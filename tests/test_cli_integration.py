@@ -98,9 +98,17 @@ def test_cli_end_to_end_on_fake_dataset(tmp_path, model):
         "--info-pkl", info_path, "--data-root", str(tmp_path),
         "--out", out_path, "--eval", "--max-samples", "2",
     ]
+    vis_dir = str(tmp_path / "vis")
     if model == "fsf":
         cmd += ["--mask-dir", mask_dir, "--img-h", "64", "--img-w", "96",
                 "--mask-downsample", "1"]
+        # cover the vis_dir debug-dump glue (BEV + channel-last camera plane)
+        try:
+            import matplotlib  # noqa: F401
+
+            cmd += ["--vis-dir", vis_dir, "--vis-max", "1"]
+        except ImportError:
+            pass
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
     assert r.returncode == 0, r.stderr[-2000:]
     with open(out_path) as f:
@@ -109,6 +117,9 @@ def test_cli_end_to_end_on_fake_dataset(tmp_path, model):
     assert results[0]["token"] == "tok0"
     # the evaluator printed metrics
     assert '"mAP"' in r.stdout, r.stdout[-500:]
+    if "--vis-dir" in cmd:
+        assert os.path.getsize(os.path.join(vis_dir, "tok0_bev.png")) > 1000
+        assert os.path.getsize(os.path.join(vis_dir, "tok0_cam0.png")) > 500
 
 
 def test_fsf_train_sharded_with_paste_schedule(tmp_path):
