@@ -72,6 +72,10 @@ def parse_args():
                         "dist_train.sh / DistributedSampler surface); launch "
                         "one process per host via tools/launch_train.sh")
     p.add_argument("--cpu", action="store_true", help="force host CPU backend")
+    # train-time debug dumps (reference vis_dir hooks run during training:
+    # frustum_assigner.py:171-232)
+    p.add_argument("--vis-dir", help="BEV debug PNGs of the training batches")
+    p.add_argument("--vis-interval", type=int, default=200)
     return p.parse_args()
 
 
@@ -360,7 +364,23 @@ def main():
     for i in range(start, total_steps):
         if reader is not None:
             reader.paste_enabled = schedule.augmentation_enabled(i)
-        batch = put(next(it))
+        raw = next(it)
+        if (args.vis_dir and i % args.vis_interval == 0
+                and jax.process_index() == 0):
+            from fullysparsefusion_tpu.utils.visualize import dump_bev
+
+            pb_v = raw[0]
+            gt_v = raw[2] if use_fsf else raw[1]
+            sel = np.asarray(pb_v.batch_idx) == 0
+            gv = np.asarray(gt_v.valid[0])
+            dump_bev(
+                os.path.join(args.vis_dir, f"step{i:06d}_bev.png"),
+                np.asarray(pb_v.points)[sel, :3],
+                point_valid=np.asarray(pb_v.valid)[sel],
+                gt_boxes=np.asarray(gt_v.boxes[0])[gv],
+                title=f"step {i} paste={schedule.augmentation_enabled(i)}",
+            )
+        batch = put(raw)
         buf = jnp.float32(schedule.threshold_buffer(i))
         detw = jnp.float32(1.0 if schedule.enable_detection(i) else 0.0)
         state, loss, losses = step_fn(state, *batch, buf, detw)
