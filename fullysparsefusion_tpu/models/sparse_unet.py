@@ -25,6 +25,7 @@ from ..ops.sparse_conv import (
     Rulebook,
     CompactRulebook,
     build_compact_rulebook,
+    check_pair_budget,
     mirror_rulebook,
     build_subm_rulebook,
     subm_conv_apply,
@@ -207,8 +208,11 @@ class SparseUNet(nn.Module):
         k3, cap = rb.rows.shape
         pair_cap = self._pair_budget(rate, k3, cap)
         crb = build_compact_rulebook(rb, pair_cap)
-        crb_b = (build_compact_rulebook(mirror_rulebook(rb), pair_cap)
-                 if train else None)
+        check_pair_budget(crb, f"unet stage {i} subm")
+        crb_b = None
+        if train:
+            crb_b = build_compact_rulebook(mirror_rulebook(rb), pair_cap)
+            check_pair_budget(crb_b, f"unet stage {i} subm bwd")
         return crb, crb_b
 
     @staticmethod

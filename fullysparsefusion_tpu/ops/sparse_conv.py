@@ -24,6 +24,7 @@ torch/spconv so converted checkpoints keep semantics).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
@@ -254,6 +255,30 @@ def build_compact_rulebook(
     )
 
 
+# opt-in pair-budget overflow probe: the compact forward silently truncates
+# tail pairs past the static budget, so after re-sizing capacities run one
+# step with FSF_DEBUG_PAIR_BUDGET=1 to confirm n_dropped == 0 everywhere
+_PAIR_BUDGET_DEBUG = os.environ.get("FSF_DEBUG_PAIR_BUDGET", "0") not in ("", "0")
+
+
+def check_pair_budget(crb: CompactRulebook, label: str) -> None:
+    """Print (under jit, via debug callback) when ``crb`` dropped pairs.
+
+    No-op unless FSF_DEBUG_PAIR_BUDGET=1 — the cond traces to nothing when
+    the flag is off, so the production path pays zero cost.
+    """
+    if not _PAIR_BUDGET_DEBUG:
+        return
+    jax.lax.cond(
+        crb.n_dropped > 0,
+        lambda n: jax.debug.print(
+            "PAIR BUDGET OVERFLOW [" + label + "]: {n} pairs dropped "
+            "(outputs truncated — raise the compact rate)", n=n),
+        lambda n: None,
+        crb.n_dropped,
+    )
+
+
 def _compact_conv_sum(xz, w_taps, valid, ysrc, starts, cdtype):
     """Σ over hit pairs of (xz @ w_taps[k_p])[src_p] per output row.
 
@@ -270,8 +295,10 @@ def _compact_conv_sum(xz, w_taps, valid, ysrc, starts, cdtype):
         preferred_element_type=cdtype,
     )                                                        # [K³, cap+1, Cout]
     cout = y.shape[-1]
-    yflat = jnp.concatenate(
-        [y.reshape(k3 * capp, cout), jnp.zeros((1, cout), y.dtype)])
+    # no appended row: every ysrc is in bounds (hit pairs index real rows;
+    # zero-filled slots past the true pair count read row 0, which the
+    # boundary diffs provably never propagate to an output)
+    yflat = y.reshape(k3 * capp, cout)
     prod = yflat[ysrc].astype(jnp.float32)                   # [pair_cap, Cout]
     p = jnp.concatenate(
         [jnp.zeros((1, cout), jnp.float32), jnp.cumsum(prod, axis=0)])
@@ -341,11 +368,7 @@ def _subm_conv_compact2_bwd(compute_dtype_name, res, g):
     d_feats = _compact_conv_sum(
         gz, wT, valid, ysrc_b, starts_b, cdtype).astype(feats.dtype)
     f16 = _append_zero_row(feats).astype(cdtype)
-    d_w = jnp.stack([
-        jnp.dot(f16[rows[ki]].T, g.astype(cdtype),
-                preferred_element_type=jnp.float32)
-        for ki in range(k3)
-    ]).astype(w.dtype)
+    d_w = _dw_per_tap(f16, rows, g, cdtype, w.dtype)
     return d_feats, d_w, None, None, None, None, None, None
 
 
@@ -456,6 +479,16 @@ def _append_zero_row(x):
     return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
 
 
+def _dw_per_tap(f_z, rows, g, cdtype, out_dtype):
+    """d_w[k] = in[rows[k]]ᵀ @ g — the per-tap weight gradient shared by
+    every conv backward (full and compact; misses hit f_z's zero row)."""
+    return jnp.stack([
+        jnp.dot(f_z[rows[ki]].T, g.astype(cdtype),
+                preferred_element_type=jnp.float32)
+        for ki in range(rows.shape[0])
+    ]).astype(out_dtype)
+
+
 def _pvary_params(*xs):
     """Mark conv parameters device-varying under a shard_map mesh axis.
 
@@ -511,13 +544,8 @@ def _subm_conv_bwd(compute_dtype_name, res, g):
     wT = w.transpose(0, 2, 1).astype(cdtype)    # [K³, Cout, Cin]
     mirror_rows = jnp.flip(rows, axis=0)
     d_feats = _gather_conv(g16, mirror_rows, wT).astype(feats.dtype)
-    # d_w[k] = in[rows[k]]^T @ g
     f16 = _append_zero_row(feats).astype(cdtype)
-    d_w = jnp.stack([
-        jnp.dot(f16[rows[ki]].T, g.astype(cdtype),
-                preferred_element_type=jnp.float32)
-        for ki in range(k3)
-    ]).astype(w.dtype)
+    d_w = _dw_per_tap(f16, rows, g, cdtype, w.dtype)
     return d_feats, d_w, None, None
 
 
@@ -553,6 +581,10 @@ def subm_conv_apply(
     ``crb_bwd`` (the compacted mirror_rulebook) to compact the backward's
     d_feats the same way.
     """
+    assert crb is not None or crb_bwd is None, (
+        "crb_bwd without crb: the compact backward rides the compact "
+        "forward — pass both or neither"
+    )
     w, b = _pvary_params(w, b)
     cdn = jnp.dtype(compute_dtype).name
     if crb is not None and crb_bwd is not None:
@@ -984,11 +1016,7 @@ def _pair_conv_bwd(static, res, g):
     d_feats = _gather_conv(g16, rows_bwd, wT).astype(feats.dtype)
     d_feats = d_feats * in_valid[:, None].astype(d_feats.dtype)
     f16 = _append_zero_row(feats).astype(cdtype)
-    d_w = jnp.stack([
-        jnp.dot(f16[rows_fwd[ki]].T, g.astype(cdtype),
-                preferred_element_type=jnp.float32)
-        for ki in range(rows_fwd.shape[0])
-    ]).astype(w.dtype)
+    d_w = _dw_per_tap(f16, rows_fwd, g, cdtype, w.dtype)
     return (d_feats, d_w, None, None, None, None, None, None, None)
 
 
@@ -1027,11 +1055,7 @@ def _pair_conv_compact_bwd(cdtype_name, res, g):
     d_feats = _compact_conv_sum(
         gz, wT, in_valid, ysrc_b, starts_b, cdtype).astype(feats.dtype)
     f16 = _append_zero_row(feats).astype(cdtype)
-    d_w = jnp.stack([
-        jnp.dot(f16[rows_fwd[ki]].T, g.astype(cdtype),
-                preferred_element_type=jnp.float32)
-        for ki in range(rows_fwd.shape[0])
-    ]).astype(w.dtype)
+    d_w = _dw_per_tap(f16, rows_fwd, g, cdtype, w.dtype)
     return d_feats, d_w, None, None, None, None, None, None, None
 
 
@@ -1073,6 +1097,10 @@ def sparse_conv3d(
         crb = build_compact_rulebook(
             Rulebook(rows=rows, hits=rows != in_cap),
             compact_pair_capacity, src_capacity=in_cap)
+        check_pair_budget(crb, "sparse_conv3d fwd")
+        # the backward pair map is built unconditionally: the primal never
+        # reads it, so XLA DCE removes it from inference jits, and a dummy
+        # would risk silently wrong gradients if someone differentiated
         rows_b = _pair_query_rows(
             st.coords, st.batch, st.valid, out_coords, out_batch, out_valid,
             out_dims, st.batch_size, kernel_size, stride, padding, "div",
@@ -1080,6 +1108,7 @@ def sparse_conv3d(
         crb_b = build_compact_rulebook(
             Rulebook(rows=rows_b, hits=rows_b != out_capacity),
             compact_pair_capacity, src_capacity=out_capacity)
+        check_pair_budget(crb_b, "sparse_conv3d bwd")
         out = _pair_conv_core_compact(
             cdtype.name, st.feats, w, out_valid, st.valid, rows,
             crb.ysrc, crb.starts, crb_b.ysrc, crb_b.starts,
@@ -1136,6 +1165,8 @@ def sparse_inverse_conv3d(
         crb = build_compact_rulebook(
             Rulebook(rows=rows, hits=rows != in_cap),
             compact_pair_capacity, src_capacity=in_cap)
+        check_pair_budget(crb, "sparse_inverse_conv3d fwd")
+        # unconditional backward pair map: see sparse_conv3d (DCE'd at eval)
         rows_b = _pair_query_rows(
             st.coords, st.batch, st.valid, target_coords, target_batch,
             target_valid, target_dims, st.batch_size, kernel_size, stride,
@@ -1144,6 +1175,7 @@ def sparse_inverse_conv3d(
         crb_b = build_compact_rulebook(
             Rulebook(rows=rows_b, hits=rows_b != tgt_cap),
             compact_pair_capacity, src_capacity=tgt_cap)
+        check_pair_budget(crb_b, "sparse_inverse_conv3d bwd")
         out = _pair_conv_core_compact(
             cdtype.name, st.feats, w, target_valid, st.valid, rows,
             crb.ysrc, crb.starts, crb_b.ysrc, crb_b.starts,

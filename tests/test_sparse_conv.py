@@ -155,6 +155,46 @@ def test_compact_rulebook_conv_matches_full(seed):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_compact_conv_bf16_close_to_full():
+    """Production compute dtype (bf16): the compact path rounds the per-tap
+    product rows to bf16 where the full path keeps f32 products, so the two
+    differ by rounding only — bound it (f32 exactness is proven above)."""
+    import jax
+    from fullysparsefusion_tpu.ops.sparse_conv import (
+        build_subm_rulebook,
+        build_compact_rulebook,
+        mirror_rulebook,
+        subm_conv_apply,
+    )
+
+    rng = np.random.default_rng(33)
+    cin, cout = 8, 8
+    st, _, _, _, n = _make_sparse(3, cin)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+    rb = build_subm_rulebook(st)
+    n_pairs = int(np.asarray(rb.hits).sum())
+    crb = build_compact_rulebook(rb, n_pairs)
+    crb_b = build_compact_rulebook(mirror_rulebook(rb), n_pairs)
+
+    full = np.asarray(subm_conv_apply(st.feats, st.valid, rb, w))
+    comp = np.asarray(subm_conv_apply(st.feats, st.valid, rb, w, crb=crb))
+    scale = np.abs(full).max() + 1e-6
+    assert np.abs(comp - full).max() / scale < 0.02
+
+    def loss(f, w_, **kw):
+        return jnp.sum(subm_conv_apply(
+            f, st.valid, rb, w_, **kw).astype(jnp.float32) ** 2)
+
+    gf_r, gw_r = jax.grad(loss, argnums=(0, 1))(st.feats, w)
+    gf_c2, gw_c2 = jax.grad(
+        lambda f, w_: loss(f, w_, crb=crb, crb_bwd=crb_b),
+        argnums=(0, 1))(st.feats, w)
+    for a, b in ((gf_c2, gf_r), (gw_c2, gw_r)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        s = np.abs(b).max() + 1e-6
+        assert np.abs(a - b).max() / s < 0.03
+
+
 @pytest.mark.parametrize("op", ["strided", "inverse"])
 def test_compact_pair_conv_matches_full(op):
     """Strided/inverse convs through compacted pair lists == the
