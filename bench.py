@@ -249,7 +249,10 @@ def main():
     fps = batch / dt  # frames (samples) per second per chip
 
     extra = {}
-    if os.environ.get("FSF_BENCH_TRAIN"):
+    # train-step timing is on by default (FSF_BENCH_TRAIN=0 to skip): the
+    # number is stable (0.38 s/step steady state) and failures are caught
+    # and reported without affecting the primary inference metric
+    if os.environ.get("FSF_BENCH_TRAIN", "1") not in ("", "0"):
         train_ms, train_compile = measure_train_step(cfg, model, vars_, pb, cam)
         if train_ms is not None:
             extra["train_ms_per_step"] = round(train_ms, 1)

@@ -148,8 +148,10 @@ def test_sharded_losses_match_single_device():
     np.testing.assert_allclose(float(loss_8), float(loss_1), rtol=5e-3)
     for k in losses_1:
         # diagnostics like num_pos are per-shard means under DP (the
-        # reference's reduce_mean avg factor), i.e. global/8
-        mult = 1.0 if "loss" in k else 8.0
+        # reference's reduce_mean avg factor), i.e. global/8; assign_recall
+        # is a globally-synced RATIO (mesh_mean numerator AND denominator,
+        # heads.py:225-234) so it matches single-device directly
+        mult = 1.0 if ("loss" in k or "recall" in k) else 8.0
         tight = k in ("loss_sem_seg", "loss_vote")  # no discrete assignment
         np.testing.assert_allclose(
             float(losses_8[k]) * mult, float(losses_1[k]),
