@@ -25,6 +25,7 @@ from ..ops.sparse_conv import (
     Rulebook,
     CompactRulebook,
     build_compact_rulebook,
+    center_tap,
     check_pair_budget,
     mirror_rulebook,
     build_subm_rulebook,
@@ -65,7 +66,8 @@ class _SubMBlock(nn.Module):
             y = subm_conv_dense(st, w, None, self.kernel_size)
         else:
             y = subm_conv_apply(
-                st.feats, st.valid, rb, w, None, crb=crb, crb_bwd=crb_bwd)
+                st.feats, st.valid, rb, w, None, crb=crb, crb_bwd=crb_bwd,
+                identity_tap=center_tap(self.kernel_size))
         y = MaskedBatchNorm()(y, st.valid, train)
         y = nn.relu(y) * st.valid[:, None].astype(y.dtype)
         # keep activations bf16 between convs — halves neighbor-gather traffic
@@ -207,11 +209,16 @@ class SparseUNet(nn.Module):
             return None, None
         k3, cap = rb.rows.shape
         pair_cap = self._pair_budget(rate, k3, cap)
-        crb = build_compact_rulebook(rb, pair_cap)
+        # center pairs are excluded: _SubMBlock handles the identity tap as
+        # a direct matmul (~25 % of stage-0 pairs never enter the list, so
+        # the rate buys correspondingly more headroom)
+        ct = center_tap((3, 3, 3))
+        crb = build_compact_rulebook(rb, pair_cap, skip_tap=ct)
         check_pair_budget(crb, f"unet stage {i} subm")
         crb_b = None
         if train:
-            crb_b = build_compact_rulebook(mirror_rulebook(rb), pair_cap)
+            crb_b = build_compact_rulebook(
+                mirror_rulebook(rb), pair_cap, skip_tap=ct)
             check_pair_budget(crb_b, f"unet stage {i} subm bwd")
         return crb, crb_b
 

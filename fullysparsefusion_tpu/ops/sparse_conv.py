@@ -169,6 +169,16 @@ def _kernel_offsets(kernel_size: Tuple[int, int, int]):
     return out
 
 
+def center_tap(kernel_size: Tuple[int, int, int]) -> Optional[int]:
+    """Flat index of the (0,0,0)-offset tap for an all-odd kernel — the tap
+    whose submanifold rulebook rows are the identity on valid rows (13 for
+    3³). None when any dim is even (no self tap)."""
+    kx, ky, kz = kernel_size
+    if kx % 2 == 0 or ky % 2 == 0 or kz % 2 == 0:
+        return None
+    return ((kz // 2) * ky + ky // 2) * kx + kx // 2
+
+
 @struct.dataclass
 class Rulebook:
     """Precomputed submanifold neighbor map for one active set.
@@ -214,10 +224,16 @@ class CompactRulebook:
     ysrc: jax.Array      # [pair_cap] int32
     starts: jax.Array    # [cap+1] int32
     n_dropped: jax.Array  # [] int32
+    # static: the tap EXCLUDED from the pair list (a submanifold center
+    # tap, handled as a direct masked matmul by the conv); the conv's
+    # identity_tap must match — ysrc tap indices are compacted past it,
+    # so w must be sliced accordingly (_w_without_tap)
+    skip_tap: Optional[int] = struct.field(pytree_node=False, default=None)
 
 
 def build_compact_rulebook(
     rb: Rulebook, pair_capacity: int, src_capacity: Optional[int] = None,
+    skip_tap: Optional[int] = None,
 ) -> CompactRulebook:
     """Compact a Rulebook to its hit pairs (one unique-index scatter).
 
@@ -225,6 +241,12 @@ def build_compact_rulebook(
     defaults to the rulebook's own (submanifold convs); pair convs
     (strided/inverse) pass the input set's capacity since it differs
     from the output's.
+
+    ``skip_tap`` drops that tap's pairs from the list entirely (the subm
+    CENTER tap is ~25 % of all pairs at stage-0 occupancies yet is the
+    identity map — the conv adds it back as one direct matmul). The stored
+    ysrc tap indices are re-numbered past the skipped tap, so the conv
+    must feed ``_w_without_tap(w, skip_tap)`` to ``_compact_conv_sum``.
     """
     k3, cap = rb.rows.shape
     src_cap = cap if src_capacity is None else src_capacity
@@ -232,18 +254,23 @@ def build_compact_rulebook(
     # every shipped capacity (57k stage-0 × batch ≤ 16); widen to uint64
     # before raising this
     assert src_cap < (1 << 20) and k3 <= (1 << 11), (k3, src_cap)
-    hits_t = rb.hits.T.astype(jnp.int32)                    # [cap, K³]
+    hits = rb.hits
+    kidx = jnp.arange(k3, dtype=jnp.uint32)
+    if skip_tap is not None:
+        assert 0 <= skip_tap < k3, (skip_tap, k3)
+        hits = hits & (jnp.arange(k3) != skip_tap)[:, None]
+        kidx = kidx - (kidx > skip_tap)          # re-number past the gap
+    hits_t = hits.T.astype(jnp.int32)                       # [cap, K³]
     rank = jnp.cumsum(hits_t, axis=1) - 1
     cnt = hits_t.sum(axis=1)
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)])
     dest = starts[:-1, None] + rank                          # [cap, K³]
-    ok = rb.hits.T & (dest < pair_capacity)
+    ok = hits.T & (dest < pair_capacity)
     # invalid pairs go OUT of bounds so mode="drop" discards them (an
     # in-bounds trash slot would collide, violating unique_indices)
     dest = jnp.where(ok, dest, pair_capacity + 1)
-    payload = rb.rows.T.astype(jnp.uint32) + (
-        jnp.arange(k3, dtype=jnp.uint32)[None, :] << 20)
+    payload = rb.rows.T.astype(jnp.uint32) + (kidx[None, :] << 20)
     compact = jnp.zeros((pair_capacity + 1,), jnp.uint32).at[dest].set(
         payload, unique_indices=True, mode="drop")[:pair_capacity]
     src = (compact & 0xFFFFF).astype(jnp.int32)
@@ -252,7 +279,16 @@ def build_compact_rulebook(
         ysrc=kk * (src_cap + 1) + src,
         starts=starts.clip(0, pair_capacity),
         n_dropped=jnp.maximum(starts[-1] - pair_capacity, 0),
+        skip_tap=skip_tap,
     )
+
+
+def _w_without_tap(w: jax.Array, skip_tap: Optional[int]) -> jax.Array:
+    """Per-tap weights minus the skipped tap (matching a CompactRulebook's
+    re-numbered ysrc tap indices)."""
+    if skip_tap is None:
+        return w
+    return jnp.concatenate([w[:skip_tap], w[skip_tap + 1:]])
 
 
 # opt-in pair-budget overflow probe: the compact forward silently truncates
@@ -307,33 +343,51 @@ def _compact_conv_sum(xz, w_taps, valid, ysrc, starts, cdtype):
     return out * valid[:, None].astype(out.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _compact_with_identity(feats, w, valid, ysrc, starts, cdtype,
+                           identity_tap):
+    """Compact pair sum + (when the pair list skipped the center tap) the
+    identity term as ONE direct masked matmul — exactly the tap the pair
+    list dropped, so the total equals the full conv."""
+    fz = _append_zero_row(feats).astype(cdtype)
+    out = _compact_conv_sum(
+        fz, _w_without_tap(w, identity_tap), valid, ysrc, starts, cdtype)
+    if identity_tap is not None:
+        idt = jnp.dot(fz[:-1], w[identity_tap].astype(cdtype),
+                      preferred_element_type=jnp.float32)
+        out = out + idt * valid[:, None].astype(idt.dtype)
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def _subm_conv_core_compact(feats, w, valid, rows, ysrc, starts,
-                            compute_dtype_name: str):
+                            compute_dtype_name: str,
+                            identity_tap: Optional[int] = None):
     """out[i] = Σ_{hit pairs p of i} (feats @ w[k_p])[src_p] (see
     _compact_conv_sum); backward runs the full-capacity mirrored gathers."""
     cdtype = jnp.dtype(compute_dtype_name)
-    fz = _append_zero_row(feats).astype(cdtype)
-    return _compact_conv_sum(fz, w, valid, ysrc, starts, cdtype)
+    return _compact_with_identity(
+        feats, w, valid, ysrc, starts, cdtype, identity_tap)
 
 
 def _subm_conv_compact_fwd(feats, w, valid, rows, ysrc, starts,
-                           compute_dtype_name):
+                           compute_dtype_name, identity_tap):
     out = _subm_conv_core_compact(
-        feats, w, valid, rows, ysrc, starts, compute_dtype_name)
+        feats, w, valid, rows, ysrc, starts, compute_dtype_name,
+        identity_tap)
     return out, (feats, w, valid, rows)
 
 
-def _subm_conv_compact_bwd(compute_dtype_name, res, g):
+def _subm_conv_compact_bwd(compute_dtype_name, identity_tap, res, g):
     # identical math to the full-capacity backward (it reads only the
     # Rulebook rows, which the compact form carries alongside)
-    d_feats, d_w, _, _ = _subm_conv_bwd(compute_dtype_name, res, g)
+    d_feats, d_w, _, _ = _subm_conv_bwd(compute_dtype_name, identity_tap, res, g)
     return d_feats, d_w, None, None, None, None
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8,))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _subm_conv_core_compact2(feats, w, valid, rows, ysrc, starts,
-                             ysrc_b, starts_b, compute_dtype_name: str):
+                             ysrc_b, starts_b, compute_dtype_name: str,
+                             identity_tap: Optional[int] = None):
     """Compact forward AND compact d_feats backward.
 
     ``ysrc_b``/``starts_b`` are the pair list of the MIRRORED rulebook
@@ -342,33 +396,37 @@ def _subm_conv_core_compact2(feats, w, valid, rows, ysrc, starts,
     gather conv through those pairs with per-tap weights w[k]ᵀ — the same
     pairing the full-capacity backward uses (_subm_conv_bwd). d_w keeps
     the full-capacity row gathers (its per-tap matmul form has no cheap
-    pair equivalent).
+    pair equivalent). ``identity_tap`` (static) must equal the skip_tap
+    BOTH pair lists were built with — the mirror flip keeps the center
+    tap in place, so one value serves both.
     """
     cdtype = jnp.dtype(compute_dtype_name)
-    fz = _append_zero_row(feats).astype(cdtype)
-    return _compact_conv_sum(fz, w, valid, ysrc, starts, cdtype)
+    return _compact_with_identity(
+        feats, w, valid, ysrc, starts, cdtype, identity_tap)
 
 
 def _subm_conv_compact2_fwd(feats, w, valid, rows, ysrc, starts,
-                            ysrc_b, starts_b, compute_dtype_name):
+                            ysrc_b, starts_b, compute_dtype_name,
+                            identity_tap):
     out = _subm_conv_core_compact2(
         feats, w, valid, rows, ysrc, starts, ysrc_b, starts_b,
-        compute_dtype_name)
+        compute_dtype_name, identity_tap)
     return out, (feats, w, valid, rows, ysrc_b, starts_b)
 
 
-def _subm_conv_compact2_bwd(compute_dtype_name, res, g):
+def _subm_conv_compact2_bwd(compute_dtype_name, identity_tap, res, g):
     feats, w, valid, rows, ysrc_b, starts_b = res
     cdtype = jnp.dtype(compute_dtype_name)
     k3 = rows.shape[0]
     g = g * valid[:, None].astype(g.dtype)
-    gz = _append_zero_row(g).astype(cdtype)
-    # mirror tap kb pairs flip(rows,0)[kb] with w[kb]ᵀ (see _subm_conv_bwd)
+    # mirror tap kb pairs flip(rows,0)[kb] with w[kb]ᵀ (see _subm_conv_bwd);
+    # g is pre-masked so the identity term needs no output mask
     wT = w.transpose(0, 2, 1)
-    d_feats = _compact_conv_sum(
-        gz, wT, valid, ysrc_b, starts_b, cdtype).astype(feats.dtype)
+    d_feats = _compact_with_identity(
+        g, wT, valid, ysrc_b, starts_b, cdtype, identity_tap
+    ).astype(feats.dtype)
     f16 = _append_zero_row(feats).astype(cdtype)
-    d_w = _dw_per_tap(f16, rows, g, cdtype, w.dtype)
+    d_w = _dw_per_tap(f16, rows, g, cdtype, w.dtype, identity_tap)
     return d_feats, d_w, None, None, None, None, None, None
 
 
@@ -457,9 +515,19 @@ def build_subm_rulebook(
     return Rulebook(rows=rows, hits=hits)
 
 
-def _gather_conv(feats_z, rows, w16):
+def _gather_conv(feats_z, rows, w16, identity_tap=None):
     """Σ_k feats_z[rows[k]] @ w16[k] with f32 accumulation (feats_z carries
-    the appended zero row that misses point at)."""
+    the appended zero row that misses point at).
+
+    ``identity_tap`` (static): the tap whose rulebook rows are provably the
+    identity on valid rows (a submanifold conv's center tap — out row i
+    reads src row i, misses only where the row is invalid). That tap skips
+    the gather and matmuls ``feats_z[:-1]`` directly. CALLER CONTRACT: the
+    result must be masked by out-validity afterwards OR feats_z must be
+    zero at invalid rows (both existing call sites hold — the forward
+    masks its output, the backward pre-masks g) — otherwise invalid rows
+    would pick up their own garbage instead of the zero row.
+    """
     out = jnp.zeros((rows.shape[1], w16.shape[-1]), jnp.float32)
     # per-tap gather+matmul streams best; measured alternatives on v5e:
     # single [K³·cap] gather then slices: +9 ms; tap-concat wide matmul:
@@ -469,9 +537,8 @@ def _gather_conv(feats_z, rows, w16):
     # are row-RATE-bound here so the narrower rows save ~nothing and the
     # K³ product writes add traffic. Don't retry.
     for ki in range(rows.shape[0]):
-        out = out + jnp.dot(
-            feats_z[rows[ki]], w16[ki], preferred_element_type=jnp.float32
-        )
+        src = feats_z[:-1] if ki == identity_tap else feats_z[rows[ki]]
+        out = out + jnp.dot(src, w16[ki], preferred_element_type=jnp.float32)
     return out
 
 
@@ -479,11 +546,15 @@ def _append_zero_row(x):
     return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
 
 
-def _dw_per_tap(f_z, rows, g, cdtype, out_dtype):
+def _dw_per_tap(f_z, rows, g, cdtype, out_dtype, identity_tap=None):
     """d_w[k] = in[rows[k]]ᵀ @ g — the per-tap weight gradient shared by
-    every conv backward (full and compact; misses hit f_z's zero row)."""
+    every conv backward (full and compact; misses hit f_z's zero row).
+
+    ``identity_tap`` skips that tap's gather: g is pre-masked by validity
+    in every backward, so invalid rows contribute f·0 = 0 either way."""
+    gc = g.astype(cdtype)
     return jnp.stack([
-        jnp.dot(f_z[rows[ki]].T, g.astype(cdtype),
+        jnp.dot((f_z[:-1] if ki == identity_tap else f_z[rows[ki]]).T, gc,
                 preferred_element_type=jnp.float32)
         for ki in range(rows.shape[0])
     ]).astype(out_dtype)
@@ -512,28 +583,31 @@ def _pvary_params(*xs):
     return out if len(out) > 1 else out[0]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _subm_conv_core(feats, w, valid, rows, compute_dtype_name: str):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _subm_conv_core(feats, w, valid, rows, compute_dtype_name: str,
+                    identity_tap: Optional[int] = None):
     cdtype = jnp.dtype(compute_dtype_name)
     f16 = _append_zero_row(feats).astype(cdtype)
-    out = _gather_conv(f16, rows, w.astype(cdtype))
+    out = _gather_conv(f16, rows, w.astype(cdtype), identity_tap)
     return out * valid[:, None].astype(out.dtype)
 
 
-def _subm_conv_fwd(feats, w, valid, rows, compute_dtype_name):
+def _subm_conv_fwd(feats, w, valid, rows, compute_dtype_name, identity_tap):
     return (
-        _subm_conv_core(feats, w, valid, rows, compute_dtype_name),
+        _subm_conv_core(feats, w, valid, rows, compute_dtype_name,
+                        identity_tap),
         (feats, w, valid, rows),
     )
 
 
-def _subm_conv_bwd(compute_dtype_name, res, g):
+def _subm_conv_bwd(compute_dtype_name, identity_tap, res, g):
     """Scatter-free backward: on TPU the autodiff transpose of a gather is a
     serialized scatter-add (measured 54 s/step at production scale — 250×
     the forward). The submanifold tap set is symmetric (o_{K³−1−k} = −o_k),
     so d_in is ITSELF a gather conv through the mirrored rulebook with
     transposed weights, and d_w re-gathers the forward rows — no scatters
-    anywhere."""
+    anywhere. The center tap stays the identity under the mirror flip
+    (13 → 26−13), so identity_tap carries straight through."""
     feats, w, valid, rows = res
     cdtype = jnp.dtype(compute_dtype_name)
     k3 = rows.shape[0]
@@ -543,9 +617,9 @@ def _subm_conv_bwd(compute_dtype_name, res, g):
     # MIRRORED rulebook entry rows[K³−1−k][p] (tap enumeration is symmetric)
     wT = w.transpose(0, 2, 1).astype(cdtype)    # [K³, Cout, Cin]
     mirror_rows = jnp.flip(rows, axis=0)
-    d_feats = _gather_conv(g16, mirror_rows, wT).astype(feats.dtype)
+    d_feats = _gather_conv(g16, mirror_rows, wT, identity_tap).astype(feats.dtype)
     f16 = _append_zero_row(feats).astype(cdtype)
-    d_w = _dw_per_tap(f16, rows, g, cdtype, w.dtype)
+    d_w = _dw_per_tap(f16, rows, g, cdtype, w.dtype, identity_tap)
     return d_feats, d_w, None, None
 
 
@@ -569,6 +643,7 @@ def subm_conv_apply(
     compute_dtype=jnp.bfloat16,
     crb: Optional[CompactRulebook] = None,
     crb_bwd: Optional[CompactRulebook] = None,
+    identity_tap: Optional[int] = None,
 ) -> jax.Array:
     """Apply a submanifold conv through a prebuilt rulebook.
 
@@ -580,22 +655,35 @@ def subm_conv_apply(
     tap slot (see CompactRulebook) — a win on low-hit-rate stages; add
     ``crb_bwd`` (the compacted mirror_rulebook) to compact the backward's
     d_feats the same way.
+
+    ``identity_tap``: the center tap of an odd submanifold kernel (13 for
+    3³) maps every output row to itself, so it runs as one direct matmul
+    instead of a gather — exact, strictly less data movement (the center
+    is ~25 % of all PAIRS at stage-0 occupancies, so it compounds with
+    ``crb``: pass pair lists built with ``skip_tap=identity_tap``).
     """
     assert crb is not None or crb_bwd is None, (
         "crb_bwd without crb: the compact backward rides the compact "
         "forward — pass both or neither"
     )
+    for c in (crb, crb_bwd):
+        assert c is None or c.skip_tap == identity_tap, (
+            "compact pair list skip_tap must match identity_tap "
+            f"(got {c.skip_tap} vs {identity_tap}) — a mismatch double- or "
+            "zero-counts the center tap"
+        )
     w, b = _pvary_params(w, b)
     cdn = jnp.dtype(compute_dtype).name
     if crb is not None and crb_bwd is not None:
         out = _subm_conv_core_compact2(
             feats, w, valid, rb.rows, crb.ysrc, crb.starts,
-            crb_bwd.ysrc, crb_bwd.starts, cdn)
+            crb_bwd.ysrc, crb_bwd.starts, cdn, identity_tap)
     elif crb is not None:
         out = _subm_conv_core_compact(
-            feats, w, valid, rb.rows, crb.ysrc, crb.starts, cdn)
+            feats, w, valid, rb.rows, crb.ysrc, crb.starts, cdn,
+            identity_tap)
     else:
-        out = _subm_conv_core(feats, w, valid, rb.rows, cdn)
+        out = _subm_conv_core(feats, w, valid, rb.rows, cdn, identity_tap)
     if b is not None:
         out = out + b * valid[:, None].astype(out.dtype)
     return out
@@ -613,7 +701,9 @@ def subm_conv3d(
     convs over the same active set build the rulebook once.
     """
     rb = build_subm_rulebook(st, kernel_size)
-    return subm_conv_apply(st.feats, st.valid, rb, w, b, compute_dtype=st.feats.dtype)
+    return subm_conv_apply(st.feats, st.valid, rb, w, b,
+                           compute_dtype=st.feats.dtype,
+                           identity_tap=center_tap(kernel_size))
 
 
 def conv_out_dim(n: int, k: int, s: int, p: int) -> int:

@@ -155,6 +155,73 @@ def test_compact_rulebook_conv_matches_full(seed):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_identity_tap_matches_gather(seed):
+    """identity_tap=13 (center tap as a direct masked matmul) must equal the
+    all-gather form exactly at f32 — forward and both gradients — on every
+    path combination: full, compact-fwd-only, and two-sided compact with
+    skip_tap pair lists."""
+    import jax
+    from fullysparsefusion_tpu.ops.sparse_conv import (
+        build_subm_rulebook,
+        build_compact_rulebook,
+        center_tap,
+        mirror_rulebook,
+        subm_conv_apply,
+    )
+
+    assert center_tap((3, 3, 3)) == 13
+    assert center_tap((3, 3, 2)) is None
+
+    rng = np.random.default_rng(seed + 40)
+    cin, cout = 4, 6
+    st, _, _, _, n = _make_sparse(seed, cin)
+    # poison the padding rows: identity handling must not leak them
+    feats = st.feats.at[n:].set(7.7)
+    st = st.replace(feats=feats)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+    rb = build_subm_rulebook(st)
+    n_pairs = int(np.asarray(rb.hits).sum())
+
+    def run(f, w_, **kw):
+        return subm_conv_apply(
+            f, st.valid, rb, w_, compute_dtype=jnp.float32, **kw)
+
+    ref = np.asarray(run(st.feats, w))
+    crb_full = build_compact_rulebook(rb, n_pairs)
+    crb_b_full = build_compact_rulebook(mirror_rulebook(rb), n_pairs)
+    crb_s = build_compact_rulebook(rb, n_pairs, skip_tap=13)
+    crb_b_s = build_compact_rulebook(mirror_rulebook(rb), n_pairs, skip_tap=13)
+    cases = {
+        "full+idt": dict(identity_tap=13),
+        "compact+idt": dict(identity_tap=13, crb=crb_s),
+        "compact2+idt": dict(identity_tap=13, crb=crb_s, crb_bwd=crb_b_s),
+    }
+    for name, kw in cases.items():
+        np.testing.assert_allclose(
+            np.asarray(run(st.feats, w, **kw)), ref, rtol=1e-5, atol=1e-5,
+            err_msg=name)
+        for argnum in (0, 1):
+            g_ref = jax.grad(lambda f, w_: jnp.sum(run(f, w_) ** 2),
+                             argnums=argnum)(st.feats, w)
+            g_idt = jax.grad(lambda f, w_: jnp.sum(run(f, w_, **kw) ** 2),
+                             argnums=argnum)(st.feats, w)
+            np.testing.assert_allclose(
+                np.asarray(g_idt), np.asarray(g_ref), rtol=1e-4, atol=1e-4,
+                err_msg=f"{name} grad arg{argnum}")
+
+    # skip_tap pair list is ~|valid| pairs smaller (the center always hits)
+    n_center = int(np.asarray(rb.hits[13]).sum())
+    assert n_center == int(np.asarray(st.valid).sum())
+    assert int(np.asarray(crb_s.starts[-1])) == n_pairs - n_center
+
+    # mismatched pairing is rejected (double/zero-counted center)
+    with pytest.raises(AssertionError):
+        run(st.feats, w, identity_tap=13, crb=crb_full)
+    with pytest.raises(AssertionError):
+        run(st.feats, w, crb=crb_s)
+
+
 def test_compact_conv_bf16_close_to_full():
     """Production compute dtype (bf16): the compact path rounds the per-tap
     product rows to bf16 where the full path keeps f32 products, so the two
