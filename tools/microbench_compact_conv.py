@@ -88,7 +88,7 @@ def run_case(cap, cin, cout, hit_rate, h_cap, label):
         payload = rows.T.astype(jnp.uint32) + (
             jnp.arange(k3, dtype=jnp.uint32)[None, :] << 20)
         compact = jnp.zeros((h_cap + 1,), jnp.uint32).at[dest].set(
-            payload, unique_indices=True, mode="drop")
+            payload, unique_indices=True, mode="drop")[:h_cap]
         src = (compact & 0xFFFFF).astype(jnp.int32)
         kk = (compact >> 20).astype(jnp.int32)
         n_pairs = starts[-1]
