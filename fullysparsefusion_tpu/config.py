@@ -150,6 +150,12 @@ class FSDConfig:
 
     class_names: Tuple[str, ...] = NUSC_CLASS_NAMES
     group_names: Tuple[Tuple[str, ...], ...] = NUSC_GROUPS
+    # CenterPoint-style task groups for the cluster head (reference
+    # sparse_cluster_head_v2.py tasks=[dict(class_names=...)]). None → one
+    # task containing every class (the shipped FSF configs). FSD-lineage
+    # configs pass several tasks; loss/decode then run the per-task GT
+    # remap + per-task NMS + global-label concat (:316-343,449-493,598-607).
+    tasks: Optional[Tuple[Tuple[str, ...], ...]] = None
     segmentor: VoteSegmentorConfig = field(default_factory=VoteSegmentorConfig)
     head: HeadConfig = field(default_factory=HeadConfig)
     score_thresh: Tuple[float, ...] = (0.1,) * 6
@@ -180,6 +186,10 @@ class FSDConfig:
         return tuple(
             tuple(self.class_names.index(n) for n in g) for g in self.group_names
         )
+
+    def task_tuple(self) -> Tuple[Tuple[str, ...], ...]:
+        """Effective task groups — ``tasks`` or one task of every class."""
+        return self.tasks if self.tasks else (self.class_names,)
 
 
 @dataclass(frozen=True)

@@ -145,8 +145,16 @@ def interpret_fsf_config(
     train_cfg = m.get("train_cfg") or {}
     ca = m["cluster_assigner"]
     sir = m["backbone"]
+    # CenterPoint-style task groups (sparse_cluster_head_v2 tasks=[...]):
+    # the shipped FSF configs carry one task of all classes; FSD-lineage
+    # configs split classes over several tasks
+    task_dicts = m["bbox_head"].get("tasks") or []
+    tasks = tuple(tuple(t["class_names"]) for t in task_dicts) or None
+    if tasks and len(tasks) == 1 and tasks[0] == class_names:
+        tasks = None  # canonical single-task form
     fsd = FSDConfig(
         class_names=class_names,
+        tasks=tasks,
         group_names=tuple(tuple(g) for g in train_cfg.get("group_names", ())),
         segmentor=seg_cfg,
         head=_head_from_dict({**m["bbox_head"], "test_cfg": m.get("test_cfg")}, num_classes),

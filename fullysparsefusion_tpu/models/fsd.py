@@ -28,7 +28,10 @@ from ..utils.containers import PointBatch, GroundTruth
 from ..utils.gather import masked_gather
 from .segmentor import VoteSegmentor, segmentor_targets, segmentor_loss
 from .sir import SIR
-from .heads import SparseClusterHead, cluster_head_loss, cluster_head_get_bboxes
+from .heads import (
+    SparseClusterHead, cluster_head_loss, cluster_head_get_bboxes,
+    multi_task_cluster_head_loss, multi_task_get_bboxes,
+)
 
 
 class ForegroundSet(NamedTuple):
@@ -218,7 +221,7 @@ class FSDQueryBranch(nn.Module):
             xyz_normalizer=c.sir_xyz_normalizer,
         )
         self.bbox_head = SparseClusterHead(
-            cfg=c.head, tasks=(c.class_names,), class_names=c.class_names
+            cfg=c.head, tasks=c.task_tuple(), class_names=c.class_names
         )
 
     def extract_foreground(
@@ -324,17 +327,23 @@ class FSDQueryBranch(nn.Module):
         )
         pt_feats, cluster_feats = self.extract_feat(fg, cseg, cluster_xyz, train)
         outs = self.bbox_head(cluster_feats, cluster_valid, train)
-        return dict(
+        result = dict(
             obj_feat=cluster_feats,
             cluster_xyz=cluster_xyz,
             cluster_batch=cluster_batch,
             cluster_group=cluster_group,
             cluster_valid=cluster_valid,
-            cls_logits=outs["cls_logits"][0],
-            reg_preds=outs["reg_preds"][0],
+            cls_logits_tasks=outs["cls_logits"],
+            reg_preds_tasks=outs["reg_preds"],
             num_clusters=jnp.sum(cluster_valid.astype(jnp.int32)),
             num_fg_points=jnp.sum(fg.valid.astype(jnp.int32)),
         )
+        if len(self.cfg.task_tuple()) == 1:
+            # single-task scalars for the FSF fusion path (the shipped FSF
+            # configs always run one task of all classes)
+            result["cls_logits"] = outs["cls_logits"][0]
+            result["reg_preds"] = outs["reg_preds"][0]
+        return result
 
 
 class SingleStageFSD(nn.Module):
@@ -371,9 +380,11 @@ class SingleStageFSD(nn.Module):
                 *segmentor_targets(pb, gt, c.num_classes),
                 c.segmentor,
             )
-            det = cluster_head_loss(
-                result["cls_logits"], result["reg_preds"], result["cluster_xyz"],
-                result["cluster_batch"], result["cluster_valid"], gt, c.head,
+            det = multi_task_cluster_head_loss(
+                result["cls_logits_tasks"], result["reg_preds_tasks"],
+                result["cluster_xyz"], result["cluster_batch"],
+                result["cluster_valid"], gt, c.head, c.task_tuple(),
+                c.class_names,
             )
             for k in det:
                 if k.startswith("loss"):
@@ -383,8 +394,16 @@ class SingleStageFSD(nn.Module):
         return result
 
     def get_bboxes(self, result, batch_size: int):
-        return cluster_head_get_bboxes(
-            result["cls_logits"], result["reg_preds"], result["cluster_xyz"],
-            result["cluster_batch"], result["cluster_valid"], batch_size,
-            self.cfg.head,
+        c = self.cfg
+        if len(c.task_tuple()) == 1:
+            return cluster_head_get_bboxes(
+                result["cls_logits"], result["reg_preds"], result["cluster_xyz"],
+                result["cluster_batch"], result["cluster_valid"], batch_size,
+                c.head,
+            )
+        return multi_task_get_bboxes(
+            result["cls_logits_tasks"], result["reg_preds_tasks"],
+            result["cluster_xyz"], result["cluster_batch"],
+            result["cluster_valid"], batch_size, c.head, c.task_tuple(),
+            c.class_names,
         )

@@ -68,6 +68,12 @@ class FSF(nn.Module):
     def setup(self):
         c = self.cfg
         f = c.fsd
+        if f.tasks and len(f.tasks) > 1:
+            raise ValueError(
+                "FSF fuses single-task FSD queries (the shipped FSF configs run "
+                "one task of all classes, FSF_nuScenes_config.py:18-20); "
+                "multi-task heads are supported by SingleStageFSD"
+            )
         self.seg_core = SegmentorCore(cfg=f.segmentor, caps=f.caps)
         seg_feat_dim = f.segmentor.unet_output_channels + 3
         self.seg_enhance_mlp = ZeroInitMLP(

@@ -236,6 +236,110 @@ def cluster_head_loss(
     return losses
 
 
+def task_label_tables(
+    class_names: Sequence[str], tasks: Sequence[Sequence[str]]
+) -> Tuple[Tuple[Tuple[int, ...], ...], Tuple[Tuple[int, ...], ...]]:
+    """Static label maps for CenterPoint-style task groups.
+
+    Returns ``(to_local, to_global)``: ``to_local[t][global_cls]`` is the
+    task-local label (−1 if the class is not in task ``t``);
+    ``to_global[t][local]`` is the global class id
+    (sparse_cluster_head_v2.py:316-343 remap, :598-607 inverse).
+    """
+    to_local, to_global = [], []
+    for t_names in tasks:
+        tl = [-1] * len(class_names)
+        tg = []
+        for i, n in enumerate(t_names):
+            ci = class_names.index(n)
+            tl[ci] = i
+            tg.append(ci)
+        to_local.append(tuple(tl))
+        to_global.append(tuple(tg))
+    return tuple(to_local), tuple(to_global)
+
+
+def remap_gt_for_task(gt: GroundTruth, to_local: Sequence[int]) -> GroundTruth:
+    """GT restricted to one task: labels remapped to task-local indices,
+    out-of-task boxes invalidated (``modify_gt_for_single_task_single_sample``
+    semantics, sparse_cluster_head_v2.py:323-343 — filtering becomes masking
+    under static shapes)."""
+    table = jnp.asarray(to_local, jnp.int32)
+    lab_t = jnp.where(gt.labels >= 0, table[gt.labels.clip(0)], -1)
+    return gt.replace(labels=lab_t, valid=gt.valid & (lab_t >= 0))
+
+
+def multi_task_cluster_head_loss(
+    cls_logits_list: Sequence[jax.Array],
+    reg_preds_list: Sequence[jax.Array],
+    cluster_xyz: jax.Array,
+    cluster_batch: jax.Array,
+    cluster_valid: jax.Array,
+    gt: GroundTruth,
+    cfg: HeadConfig,
+    tasks: Sequence[Sequence[str]],
+    class_names: Sequence[str],
+    prefix: str = "",
+    iou_logits_list: Optional[Sequence[jax.Array]] = None,
+) -> Dict[str, jax.Array]:
+    """Per-task loss with task-remapped GT (``loss`` over tasks,
+    sparse_cluster_head_v2.py:134-189). Single-task calls keep the unsuffixed
+    key names so existing configs/logs are unchanged."""
+    to_local, _ = task_label_tables(class_names, tasks)
+    single = len(tasks) == 1
+    out: Dict[str, jax.Array] = {}
+    for t in range(len(tasks)):
+        gt_t = gt if single and len(tasks[t]) == len(class_names) else (
+            remap_gt_for_task(gt, to_local[t])
+        )
+        p = prefix if single else f"{prefix}task{t}_"
+        out.update(
+            cluster_head_loss(
+                cls_logits_list[t], reg_preds_list[t], cluster_xyz,
+                cluster_batch, cluster_valid, gt_t, cfg, prefix=p,
+                iou_logits=None if iou_logits_list is None else iou_logits_list[t],
+            )
+        )
+    return out
+
+
+def multi_task_get_bboxes(
+    cls_logits_list: Sequence[jax.Array],
+    reg_preds_list: Sequence[jax.Array],
+    cluster_xyz: jax.Array,
+    cluster_batch: jax.Array,
+    cluster_valid: jax.Array,
+    batch_size: int,
+    cfg: HeadConfig,
+    tasks: Sequence[Sequence[str]],
+    class_names: Sequence[str],
+) -> NMSResult:
+    """Per-task decode + NMS, task-local → global label remap, cross-task
+    concat (``get_bboxes``/``get_bboxes_single_task``,
+    sparse_cluster_head_v2.py:449-493,598-607). Output is [B, T·max_num]."""
+    _, to_global = task_label_tables(class_names, tasks)
+    coder = BasePointBBoxCoder(cfg.code_size)
+    results = []
+    for t in range(len(tasks)):
+        boxes = coder.decode(reg_preds_list[t], cluster_xyz)
+        scores = jax.nn.sigmoid(cls_logits_list[t])
+        r = multiclass_nms_bev_batched(
+            boxes, scores, cluster_valid, cluster_batch, batch_size,
+            cfg.nms_thr, cfg.score_thr, cfg.max_num,
+        )
+        tg = jnp.asarray(to_global[t], jnp.int32)
+        r = r._replace(labels=jnp.where(r.valid, tg[r.labels.clip(0)], -1))
+        results.append(r)
+    if len(results) == 1:
+        return results[0]
+    return NMSResult(
+        *[
+            jnp.concatenate([getattr(r, f) for r in results], axis=1)
+            for f in NMSResult._fields
+        ]
+    )
+
+
 def cluster_head_get_bboxes(
     cls_logits: jax.Array,    # [C, num_classes]
     reg_preds: jax.Array,     # [C, code]
