@@ -34,6 +34,26 @@ class RoiPoints(NamedTuple):
     roi_idx: jax.Array     # [R] roi index
     geometry: jax.Array    # [R, 13]
     valid: jax.Array       # [R]
+    # memberships dropped because a point sat inside more than
+    # ``rois_per_point`` RoIs (diagnostic, scalar int32; analogous to
+    # ops.sparse_conv.check_pair_budget). The grid path additionally drops
+    # RoIs past ``cands_per_cell`` per cell, which this does not count.
+    dropped: jax.Array = jnp.zeros((), jnp.int32)
+
+
+def _topk_maxmask(score: jax.Array, k: int, neg, idx_of):
+    """Top-k of each row by k argmax/mask passes — far cheaper than
+    ``lax.top_k`` on TPU for small k (measured for the k=2 case; the loop
+    generalizes it). ``idx_of`` maps winning column ids [N] → payload [N].
+    Returns ([N, k] scores, [N, k] payloads)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+    ss, ii = [], []
+    for _ in range(k):
+        i1 = jnp.argmax(score, axis=1)
+        ss.append(jnp.max(score, axis=1))
+        ii.append(idx_of(i1))
+        score = jnp.where(cols == i1[:, None], neg, score)
+    return jnp.stack(ss, axis=1), jnp.stack(ii, axis=1)
 
 
 def extract_roi_points(
@@ -72,23 +92,9 @@ def extract_roi_points(
 
     neg = jnp.int32(-q - roi_chunk - 1)
     k = rois_per_point
-    assert k == 2, "running-best merge implemented for rois_per_point == 2"
-
-    def top2(score, idx_of):
-        """Two max/argmax passes — far cheaper than lax.top_k on TPU."""
-        i1 = jnp.argmax(score, axis=1)
-        s1 = jnp.max(score, axis=1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
-        masked = jnp.where(cols == i1[:, None], neg, score)
-        i2 = jnp.argmax(masked, axis=1)
-        s2 = jnp.max(masked, axis=1)
-        return (
-            jnp.stack([s1, s2], axis=1),
-            jnp.stack([idx_of(i1), idx_of(i2)], axis=1),
-        )
 
     def step(carry, chunk):
-        top_s, top_i = carry                      # [N, 2] running best
+        top_s, top_i, n_inside = carry            # [N, k] running best
         rc, rbc, rvc, base = chunk
         ctr = gravity_center(rc)                  # [C, 3]
         half = (rc[:, 3:6] + extra) * 0.5
@@ -99,29 +105,35 @@ def extract_roi_points(
         inside &= point_batch[:, None] == rbc[None, :]
         gidx = base + jnp.arange(roi_chunk, dtype=jnp.int32)
         score = jnp.where(inside, -gidx[None, :], neg)   # prefer lower roi idx
-        cs, ci = top2(score, lambda i: gidx[i])
-        cand_s = jnp.concatenate([top_s, cs], axis=1)     # [N, 4]
+        cs, ci = _topk_maxmask(score, k, neg, lambda i: gidx[i])
+        cand_s = jnp.concatenate([top_s, cs], axis=1)     # [N, 2k]
         cand_i = jnp.concatenate([top_i, ci], axis=1)
-        cols4 = jax.lax.broadcasted_iota(jnp.int32, cand_i.shape, 1)
+        cols2k = jax.lax.broadcasted_iota(jnp.int32, cand_i.shape, 1)
         # one-hot row select, not take_along_axis (slow on TPU)
-        ms, mi = top2(
-            cand_s,
-            lambda i: jnp.sum(jnp.where(cols4 == i[:, None], cand_i, 0), axis=1),
+        ms, mi = _topk_maxmask(
+            cand_s, k, neg,
+            lambda i: jnp.sum(jnp.where(cols2k == i[:, None], cand_i, 0), axis=1),
         )
-        return (ms, mi), None
+        return (ms, mi, n_inside + jnp.sum(inside.astype(jnp.int32))), None
 
     # derive the init from a traced input so its sharding/varying axes match
     # the body outputs under shard_map (constants are unvarying by default)
     zero_nk = (xyz[:, :1] * 0).astype(jnp.int32) * jnp.zeros((1, k), jnp.int32)
-    init = (zero_nk + neg, zero_nk)
-    (top_scores, top_idx), _ = jax.lax.scan(step, init, (rois_c, rb_c, rv_c, base_c))
+    init = (zero_nk + neg, zero_nk, jnp.sum(zero_nk[:, 0]))
+    (top_scores, top_idx, n_inside), _ = jax.lax.scan(
+        step, init, (rois_c, rb_c, rv_c, base_c)
+    )
     member_ok = top_scores > neg
     return _finalize_pairs(
-        xyz, rois, member_ok, top_idx, extra, capacity, rois_per_point
+        xyz, rois, member_ok, top_idx, extra, capacity, rois_per_point,
+        dropped=n_inside - jnp.sum(member_ok.astype(jnp.int32)),
     )
 
 
-def _finalize_pairs(xyz, rois, member_ok, top_idx, extra, capacity, rois_per_point):
+def _finalize_pairs(
+    xyz, rois, member_ok, top_idx, extra, capacity, rois_per_point,
+    dropped=None,
+):
     """Compact [N, k] memberships to the fixed pair list + 13-dim geometry."""
     flat_ok = member_ok.reshape(-1)
     sel, sel_valid = masked_gather(flat_ok, capacity)
@@ -146,6 +158,8 @@ def _finalize_pairs(xyz, rois, member_ok, top_idx, extra, capacity, rois_per_poi
         roi_idx=roi_idx.astype(jnp.int32),
         geometry=geometry,
         valid=sel_valid,
+        dropped=(jnp.zeros((), jnp.int32) if dropped is None
+                 else dropped.astype(jnp.int32)),
     )
 
 
@@ -181,7 +195,9 @@ def extract_roi_points_grid(
 
     q = rois.shape[0]
     k = rois_per_point
-    assert k == 2, "top-2 merge implemented for rois_per_point == 2"
+    assert k <= cands_per_cell, (
+        f"rois_per_point={k} cannot exceed cands_per_cell={cands_per_cell}"
+    )
     extra = jnp.asarray(extra_wlh, xyz.dtype)
     nx = int(np.ceil((bev_hi[0] - bev_lo[0]) / cell))
     ny = int(np.ceil((bev_hi[1] - bev_lo[1]) / cell))
@@ -267,20 +283,19 @@ def extract_roi_points_grid(
 
     neg = jnp.int32(-q - 2)
     score = jnp.where(inside, -safe, neg)
-    i1 = jnp.argmax(score, axis=1)
-    s1 = jnp.max(score, axis=1)
     cols = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
-    masked = jnp.where(cols == i1[:, None], neg, score)
-    i2 = jnp.argmax(masked, axis=1)
-    s2 = jnp.max(masked, axis=1)
-    top_scores = jnp.stack([s1, s2], axis=1)
     # one-hot row selects (not take_along_axis — slow dynamic minor-dim
     # indexing on TPU)
-    idx1 = jnp.sum(jnp.where(cols == i1[:, None], safe, 0), axis=1)
-    idx2 = jnp.sum(jnp.where(cols == i2[:, None], safe, 0), axis=1)
-    top_idx = jnp.stack([idx1, idx2], axis=1)
+    top_scores, top_idx = _topk_maxmask(
+        score, k, neg,
+        lambda i: jnp.sum(jnp.where(cols == i[:, None], safe, 0), axis=1),
+    )
     member_ok = top_scores > neg
-    return _finalize_pairs(xyz, rois, member_ok, top_idx, extra, capacity, k)
+    return _finalize_pairs(
+        xyz, rois, member_ok, top_idx, extra, capacity, k,
+        dropped=jnp.sum(inside.astype(jnp.int32))
+        - jnp.sum(member_ok.astype(jnp.int32)),
+    )
 
 
 class FullySparseBboxHead(nn.Module):
