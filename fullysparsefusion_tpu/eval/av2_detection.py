@@ -118,14 +118,15 @@ def evaluate_av2(
         cds = ap_mean * float(np.mean(
             [1.0 - min(tp_errs[k] / TP_NORMS[k], 1.0) for k in TP_NORMS]
         ))
+        # full precision — golden-vector tests assert these at 1e-6
         per_class[class_names[c]] = dict(
-            AP=round(ap_mean, 4), CDS=round(cds, 4),
-            **{k.upper(): round(v, 4) for k, v in tp_errs.items()},
+            AP=ap_mean, CDS=cds,
+            **{k.upper(): float(v) for k, v in tp_errs.items()},
         )
     if not per_class:
         return {"mAP": 0.0, "CDS": 0.0, "per_class": {}}
     return {
-        "mAP": round(float(np.mean([v["AP"] for v in per_class.values()])), 4),
-        "CDS": round(float(np.mean([v["CDS"] for v in per_class.values()])), 4),
+        "mAP": float(np.mean([v["AP"] for v in per_class.values()])),
+        "CDS": float(np.mean([v["CDS"] for v in per_class.values()])),
         "per_class": per_class,
     }

@@ -278,12 +278,14 @@ def evaluate_detections(
             agg_tp[metric.upper()] = err
             tp_scores.append(max(0.0, 1.0 - err / norm))
     nds = (5 * mean_ap + sum(tp_scores)) / (5 + len(tp_scores))
+    # full precision — golden-vector tests assert these at 1e-6; consumers
+    # round for display
     return {
-        "mAP": round(mean_ap, 4),
-        "NDS": round(float(nds), 4),
-        "tp_errors": {k: round(v, 4) for k, v in agg_tp.items()},
+        "mAP": mean_ap,
+        "NDS": float(nds),
+        "tp_errors": dict(agg_tp),
         "per_class": {
-            k: {"AP": round(float(np.mean(list(v.values()))), 4)}
+            k: {"AP": float(np.mean(list(v.values())))}
             for k, v in ap_table.items()
         },
     }
