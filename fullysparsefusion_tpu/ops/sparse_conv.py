@@ -58,9 +58,16 @@ class SparseTensor:
 
 
 # Use a dense row table when batch_size · nx · ny · nz fits this budget
-# (int32 cells). 64M cells = 256 MB — cheap vs. the ~20 ms a 1.8M-element
-# sort-based lookup costs on each of the UNet's 13 neighbor maps.
-DENSE_LOOKUP_MAX_CELLS = 96 * 1024 * 1024
+# (int32 cells → 4 B/cell; 160 M cells = 640 MB transient, CSE-shared
+# across a stage's maps). Covers AV2's [32, 2048, 2048] stage-0 grid
+# (134 M cells, FSF_AV2_config.py:87) — the sorted fallback costs ~20 ms
+# per neighbor map there.
+DENSE_LOOKUP_MAX_CELLS = 160 * 1024 * 1024
+# The x-triplet table ([cells, 3] of the row dtype) multiplies that
+# footprint 3–6×, so it gets a tighter budget: above it, rulebooks and
+# pair queries use per-tap scalar lookups from the dense table (the
+# middle tier — still O(1) per query, ~3× the gather cost of triplets).
+TRIPLET_MAX_CELLS = 96 * 1024 * 1024
 
 
 def _use_dense(st: SparseTensor) -> bool:
@@ -68,6 +75,14 @@ def _use_dense(st: SparseTensor) -> bool:
     return (
         st.batch_size > 0
         and st.batch_size * nx * ny * nz <= DENSE_LOOKUP_MAX_CELLS
+    )
+
+
+def _use_triplets(st: SparseTensor) -> bool:
+    nx, ny, nz = st.dims
+    return (
+        st.batch_size > 0
+        and st.batch_size * nx * ny * nz <= TRIPLET_MAX_CELLS
     )
 
 
@@ -494,7 +509,7 @@ def build_subm_rulebook(
     kernel_size: Tuple[int, int, int] = (3, 3, 3),
     t3: Optional[jax.Array] = None,
 ) -> Rulebook:
-    if kernel_size == (3, 3, 3) and _use_dense(st):
+    if kernel_size == (3, 3, 3) and _use_triplets(st):
         return _subm_rulebook_triplets(st, t3)
     offsets = _kernel_offsets(kernel_size)
     center = tuple(k // 2 for k in kernel_size)
@@ -1031,7 +1046,7 @@ def _pair_query_rows(
         tuple(kernel_size) == (3, 3, 3)
         and tuple(stride) == (2, 2, 2)
         and all(0 <= p <= 1 for p in padding)
-        and _use_dense(tgt)
+        and _use_triplets(tgt)
     ):
         t3 = tgt_t3 if tgt_t3 is not None else _x_triplet_table(tgt)
         fast = (_pair_rows_mul_triplets if mode == "mul"

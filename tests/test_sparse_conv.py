@@ -464,10 +464,17 @@ def test_pair_query_triplet_fast_path_matches_generic(mode, padding):
         dims, bsz, (3, 3, 3), (2, 2, 2), padding, mode,
     )
     fast = np.asarray(sc._pair_query_rows(*args))
-    orig = sc._use_dense
+    orig_d, orig_t = sc._use_dense, sc._use_triplets
     try:
-        sc._use_dense = lambda st: False  # force the generic sorted lookup
+        # force the generic sorted lookup (both the triplet fast path and
+        # the dense-table middle tier off)
+        sc._use_dense = lambda st: False
+        sc._use_triplets = lambda st: False
         slow = np.asarray(sc._pair_query_rows(*args))
+        # middle tier: dense lookup table, no triplet table
+        sc._use_dense = orig_d
+        mid = np.asarray(sc._pair_query_rows(*args))
     finally:
-        sc._use_dense = orig
+        sc._use_dense, sc._use_triplets = orig_d, orig_t
     np.testing.assert_array_equal(fast, slow)
+    np.testing.assert_array_equal(fast, mid)
