@@ -35,8 +35,7 @@ from ..ops.sparse_conv import (
     sparse_conv3d,
     sparse_conv3d_dense,
     sparse_inverse_conv3d,
-    _use_triplets,
-    _x_triplet_table,
+    stage_table,
 )
 from .layers import MaskedBatchNorm
 
@@ -241,7 +240,7 @@ class SparseUNet(nn.Module):
         # touching that active set: the stage's submanifold convs (encoder +
         # decoder + final projection), the down-conv reading from it, and
         # the up-conv writing from it (ops/sparse_conv._x_triplet_table)
-        t3s = [_x_triplet_table(st) if _use_triplets(st) else None]
+        t3s = [stage_table(st)]
         rulebooks = [build_subm_rulebook(st, t3=t3s[0])]
         crbs = [self._compact(0, rulebooks[0], train)]
         st = _SubMBlock(
@@ -267,7 +266,7 @@ class SparseUNet(nn.Module):
                             i, out_cap),
                         name=f"enc{i}_down",
                     )(st, train, src_t3=t3s[i - 1])
-                    t3s.append(_x_triplet_table(st) if _use_triplets(st) else None)
+                    t3s.append(stage_table(st))
                     rulebooks.append(build_subm_rulebook(st, t3=t3s[i]))
                     crbs.append(self._compact(i, rulebooks[i], train))
                 else:

@@ -86,6 +86,22 @@ def _use_triplets(st: SparseTensor) -> bool:
     )
 
 
+def stage_table(st: SparseTensor) -> Optional[jax.Array]:
+    """The shared neighbor table every lookup touching ``st``'s active set
+    uses: the [cells, 3] x-triplet table when the grid fits, else None (the
+    middle dense tier / sorted fallback build their own structures).
+
+    NEGATIVE RESULT (measured 2026-08-19, tools/microbench_lookup.py on the
+    real v5e): a [cells, 9] xy-block table (all nine (dy,dx) neighbors per
+    row — a 27-tap query in 3 gathers instead of 9) LOSES across the board:
+    stage-0 subm rulebook 8.65 ms vs 5.06 triplet, strided 'mul' rows 7.88
+    vs ~4.7, whole UNet 80.9 vs 75.9 ms. The 3× table-build writes plus the
+    3× wider (18 B) gather rows cost more than the saved gather count —
+    same failure mode as the [cells, 27] table (docs/performance.md). Do
+    not widen the lookup table past triplets."""
+    return _x_triplet_table(st) if _use_triplets(st) else None
+
+
 def build_dense_table(st: SparseTensor) -> jax.Array:
     """Dense cell → (row + 1) table; 0 = empty. O(1) neighbor lookups."""
     nx, ny, nz = st.dims

@@ -10,6 +10,7 @@ from fullysparsefusion_tpu.ops.sparse_conv import (
     sparse_conv3d,
     sparse_inverse_conv3d,
     downsample_coords,
+    build_subm_rulebook,
     conv_out_dim,
 )
 
@@ -478,3 +479,50 @@ def test_pair_query_triplet_fast_path_matches_generic(mode, padding):
         sc._use_dense, sc._use_triplets = orig_d, orig_t
     np.testing.assert_array_equal(fast, slow)
     np.testing.assert_array_equal(fast, mid)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_subm_rulebook_tiers_agree(seed):
+    """build_subm_rulebook's triplet, middle-dense, and sorted tiers must
+    produce identical rows/hits on random active sets (incl. grid edges)."""
+    import fullysparsefusion_tpu.ops.sparse_conv as sc
+
+    rng = np.random.default_rng(seed)
+    dims, bsz = (16, 12, 8), 2
+    nx, ny, nz = dims
+    n, cap = 160, 192
+    coords = np.stack(
+        [rng.integers(0, nx, n), rng.integers(0, ny, n), rng.integers(0, nz, n)], 1
+    ).astype(np.int32)
+    batch = rng.integers(0, bsz, n).astype(np.int32)
+    valid = rng.random(n) > 0.2
+    key = ((batch * nz + coords[:, 2]) * ny + coords[:, 1]) * nx + coords[:, 0]
+    _, first = np.unique(key, return_index=True)
+    keep = np.zeros(n, bool)
+    keep[first] = True
+    valid &= keep
+    pad = cap - n
+    st = SparseTensor(
+        feats=jnp.zeros((cap, 1), jnp.float32),
+        coords=jnp.asarray(np.pad(coords, ((0, pad), (0, 0)))),
+        batch=jnp.asarray(np.pad(batch, (0, pad))),
+        valid=jnp.asarray(np.pad(valid, (0, pad))),
+        dims=dims, batch_size=bsz,
+    )
+    got = {}
+    orig_d, orig_t = sc._use_dense, sc._use_triplets
+    try:
+        got["triplet"] = build_subm_rulebook(st)
+        sc._use_triplets = lambda s: False
+        got["mid"] = build_subm_rulebook(st)
+        sc._use_dense = lambda s: False
+        got["sorted"] = build_subm_rulebook(st)
+    finally:
+        sc._use_dense, sc._use_triplets = orig_d, orig_t
+    ref = got.pop("sorted")
+    for name, rb in got.items():
+        np.testing.assert_array_equal(
+            np.asarray(rb.hits), np.asarray(ref.hits), err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(rb.rows) * np.asarray(rb.hits),
+            np.asarray(ref.rows) * np.asarray(ref.hits), err_msg=name)

@@ -5,6 +5,11 @@ time):
   rulebook   build_subm_rulebook on the stage-0 active set only
   encoder    conv_input + encoder stages (no decoder)
   convs0     the stage-0-resident convs only (conv_input, enc0, conv_out-shape)
+  lookups    ALL lookup machinery the real UNet runs at bench capacities —
+             per-stage triplet tables + rulebooks (gather-path stages),
+             downsample_coords sorts for every stage transition, and the
+             strided/inverse pair maps — but zero convs. unet_total − this
+             ≈ the conv gather+matmul+BN cost.
   full       whole UNet (same as profile_bench --stage unet)
 
     python tools/profile_unet.py --part rulebook
@@ -20,7 +25,7 @@ sys.path.insert(0, os.path.join(
 
 import numpy as np
 
-PARTS = ("rulebook", "encoder", "convs0", "full")
+PARTS = ("rulebook", "encoder", "convs0", "lookups", "full")
 
 
 def main():
@@ -72,6 +77,56 @@ def main():
     if args.part == "rulebook":
         jfn = jax.jit(lambda st: build_subm_rulebook(st).rows.sum())
         timeit("rulebook", jfn, st0)
+        return
+
+    if args.part == "lookups":
+        from fullysparsefusion_tpu.ops.sparse_conv import (
+            downsample_coords, use_dense_conv, _pair_query_rows,
+            stage_table,
+        )
+
+        paddings = tuple(sc.unet_strided_paddings)
+        stage_caps = tuple(sc.unet_stage_capacities)
+        occ_thr = sc.unet_dense_min_occupancy
+
+        def lookups(st):
+            acc = jnp.zeros((), jnp.int32)
+            cur = st
+            for i in range(len(stage_caps)):
+                if i > 0:
+                    prev = cur
+                    oc, ob, ov, od = downsample_coords(
+                        prev, (3, 3, 3), (2, 2, 2), paddings[i - 1],
+                        stage_caps[i],
+                    )
+                    cur = SparseTensor(
+                        feats=jnp.zeros((stage_caps[i], 1), jnp.bfloat16),
+                        coords=oc, batch=ob, valid=ov, dims=od,
+                        batch_size=prev.batch_size,
+                    )
+                    src_t3 = stage_table(prev)
+                    if not use_dense_conv(prev, 128, occ_thr):
+                        # down conv gather path: 'mul' rows into the
+                        # INPUT (finer) set — gate matches _DownBlock
+                        r1 = _pair_query_rows(
+                            oc, ob, ov, prev.coords, prev.batch, prev.valid,
+                            prev.dims, prev.batch_size, (3, 3, 3), (2, 2, 2),
+                            paddings[i - 1], "mul", tgt_t3=src_t3)
+                        acc = acc + r1.sum()
+                    # up conv has NO dense path (_UpBlock): 'div' rows of
+                    # the finer target against the coarse set, every stage
+                    r2 = _pair_query_rows(
+                        prev.coords, prev.batch, prev.valid, oc, ob, ov,
+                        od, prev.batch_size, (3, 3, 3), (2, 2, 2),
+                        paddings[i - 1], "div")
+                    acc = acc + r2.sum()
+                if not use_dense_conv(cur, 128, occ_thr):
+                    rb = build_subm_rulebook(cur)
+                    acc = acc + rb.rows.astype(jnp.int32).sum()
+            return acc
+
+        jfn = jax.jit(lookups)
+        timeit("lookups", jfn, st0)
         return
 
     if args.part == "convs0":
