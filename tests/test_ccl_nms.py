@@ -177,3 +177,30 @@ def test_batched_multiclass_nms_matches_per_sample_loop():
         np.testing.assert_array_equal(np.asarray(got.labels[bi]), np.asarray(ref.labels))
         np.testing.assert_allclose(
             np.asarray(got.boxes[bi]), np.asarray(ref.boxes), atol=1e-6)
+
+
+def test_batched_ccl_pallas_wiring_matches_while_loop(monkeypatch):
+    """The Pallas-wired batched CCL path (adjacency build + fixed sweeps +
+    relabel) must reproduce the XLA while_loop path exactly, including
+    batch separation and invalid nodes."""
+    import jax.numpy as jnp
+    import fullysparsefusion_tpu.ops.ccl as ccl
+    import fullysparsefusion_tpu.ops.pallas_kernels as pk
+
+    rng = np.random.default_rng(7)
+    g, n = 3, 64
+    xy = rng.uniform(0, 10, (g, n, 2)).astype(np.float32)
+    batch = rng.integers(0, 2, (g, n)).astype(np.int32)
+    valid = rng.random((g, n)) > 0.15
+
+    ref = np.asarray(ccl.connected_components_bev_batched(
+        jnp.asarray(xy), jnp.asarray(batch), jnp.asarray(valid)))
+
+    orig = pk.ccl_sweeps_pallas
+    monkeypatch.setattr(
+        pk, "ccl_sweeps_pallas",
+        lambda adj, v, sweeps: orig(adj, v, sweeps=sweeps, interpret=True))
+    monkeypatch.setattr(ccl, "_pallas_ccl_ok", lambda n_: True)
+    got = np.asarray(ccl.connected_components_bev_batched(
+        jnp.asarray(xy), jnp.asarray(batch), jnp.asarray(valid)))
+    np.testing.assert_array_equal(got, ref)
