@@ -131,32 +131,79 @@ def cluster_one_group(
     return lab.astype(jnp.int32), ok
 
 
-def cluster_all_groups(
-    centers_list, batch_list, valid_list, cfg: FSDConfig
-):
-    """All groups' CCL in ONE batched while_loop (coords pre-scaled by each
-    group's connected_dist so the threshold is uniform).
+def _per_sample_slots(seg: SegmentInfo, batch_size: int, cells: int, vps: int):
+    """Per-sample re-slotting of a batch-major compact segment table.
 
-    Returns per-group (label [K], point_valid [K]) lists.
+    ``unique_segments`` assigns slots in ascending key order with all valid
+    slots a prefix, and :func:`linearize_coords` keys are (batch, z, y, x)
+    row-major — so each sample's voxels occupy one contiguous slot run.
+    Re-slotting to ``batch_size`` runs of ``vps`` slots each is then a pure
+    gather (no scatter/sort).
+
+    Returns (start [B] — each sample's first global slot,
+    gather_idx [B·vps] — global slot feeding per-sample slot (b, r),
+    gather_valid [B·vps]). Samples whose voxel count exceeds ``vps`` drop
+    their highest keys, matching the global capacity's truncation order.
+    """
+    vcap = seg.capacity
+    slot_b = jnp.where(seg.seg_valid, seg.unique_keys // cells, batch_size)
+    cnt_b = jax.ops.segment_sum(
+        jnp.ones((vcap,), jnp.int32), slot_b, num_segments=batch_size + 1
+    )[:batch_size]
+    start = jnp.cumsum(cnt_b) - cnt_b
+    r = jnp.arange(vps, dtype=jnp.int32)
+    gather_idx = (start[:, None] + r[None, :]).reshape(-1)
+    gather_valid = (r[None, :] < jnp.minimum(cnt_b, vps)[:, None]).reshape(-1)
+    return start, gather_idx.clip(0, vcap - 1), gather_valid
+
+
+def cluster_all_groups(
+    centers_list, batch_list, valid_list, cfg: FSDConfig, batch_size: int = 1
+):
+    """All groups' CCL as G·B independent per-sample problems in one batched
+    call (coords pre-scaled by each group's connected_dist so the threshold
+    is uniform).
+
+    Voxel slots are re-slotted per sample (``_per_sample_slots``) before the
+    CCL, so each problem has N = vcap // batch_size nodes: total CCL work is
+    G·B·N² — LINEAR in batch size. The previous batch-mixed layout ran G
+    problems of B·N nodes (G·B²·N², quadratic in B — the measured batch-2
+    throughput regression, docs/performance.md) and kept N above the Pallas
+    kernel's VMEM gate at batch ≥ 2.
+
+    Returns per-group (label [K], point_valid [K]) lists; labels are compact
+    within each (group, sample) — downstream keys include the batch id, so
+    cross-sample label collisions are impossible.
     """
     vcap = cfg.caps.cluster_voxels_per_group
-    segs, oks, xys, vbs, vns = [], [], [], [], []
+    vps = max(vcap // max(batch_size, 1), 1)
+    pc_range = cfg.segmentor.point_cloud_range
+    xys, vns, per_group = [], [], []
     for g in range(cfg.num_groups):
-        seg, ok, vc, vb, vn = _cluster_voxelize_group(
+        seg, ok, vc, _vb, vn = _cluster_voxelize_group(
             centers_list[g], batch_list[g], valid_list[g], g, cfg
         )
-        segs.append(seg)
-        oks.append(ok)
-        xys.append(vc[:, :2] / cfg.connected_dists[g])
-        vbs.append(vb)
-        vns.append(vn)
-    labels_vox = connected_components_bev_batched(
-        jnp.stack(xys), jnp.stack(vbs), jnp.stack(vns)
-    )
+        dims = grid_dims(cfg.cluster_voxel_sizes[g], pc_range)
+        cells = dims[0] * dims[1] * dims[2]
+        start, gidx, gok = _per_sample_slots(seg, batch_size, cells, vps)
+        xy = (vc[:, :2] / cfg.connected_dists[g])[gidx]
+        xys.append(xy.reshape(batch_size, vps, 2))
+        vns.append((gok & vn[gidx]).reshape(batch_size, vps))
+        per_group.append((seg, ok, start))
+    nprob = cfg.num_groups * batch_size
+    labels = connected_components_bev_batched(
+        jnp.stack(xys).reshape(nprob, vps, 2),
+        jnp.zeros((nprob, vps), jnp.int32),
+        jnp.stack(vns).reshape(nprob, vps),
+    ).reshape(cfg.num_groups, batch_size * vps)
     out = []
     for g in range(cfg.num_groups):
-        lab = labels_vox[g][segs[g].seg_id.clip(0, vcap - 1)]
-        out.append((jnp.where(oks[g], lab, -1).astype(jnp.int32), oks[g]))
+        seg, ok, start = per_group[g]
+        b = batch_list[g].clip(0, batch_size - 1)
+        r = seg.seg_id - start[b]
+        ok = ok & (r >= 0) & (r < vps)
+        lab = labels[g][b * vps + r.clip(0, vps - 1)]
+        out.append((jnp.where(ok, lab, -1).astype(jnp.int32), ok))
     return out
 
 
@@ -272,8 +319,8 @@ class FSDQueryBranch(nn.Module):
             bat_list.append(pv_batch[idx])
             v_list.append(v)
             g_group.append(jnp.full((kcap,), g, jnp.int32))
-        # all groups' CCL in one batched while_loop
-        clustered = cluster_all_groups(cen_list, bat_list, v_list, c)
+        # all groups' CCL in one batched call, per-sample problems
+        clustered = cluster_all_groups(cen_list, bat_list, v_list, c, batch_size)
         g_labels = [lab for lab, _ in clustered]
         g_valid = [ok for _, ok in clustered]
         g_centers = cen_list

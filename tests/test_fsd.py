@@ -105,3 +105,42 @@ def test_cluster_one_group_two_blobs():
     assert ok.all()
     assert len(set(lab[:30])) == 1 and len(set(lab[30:])) == 1
     assert lab[0] != lab[59]
+
+
+def test_cluster_all_groups_per_sample_matches_batch_mixed_oracle():
+    """Per-sample re-slotted CCL (linear in batch) must induce the same
+    cluster PARTITION as the batch-mixed cluster_one_group oracle at
+    batch 2, per group — labels may be renumbered, membership may not."""
+    from fullysparsefusion_tpu.models.fsd import cluster_all_groups
+
+    cfg = tiny_fsd_config()
+    rng = np.random.default_rng(4)
+    k = 96
+    cen_list, bat_list, v_list = [], [], []
+    for g in range(cfg.num_groups):
+        # clustered blobs spread over both samples, some invalid points
+        blobs = rng.uniform(-8, 8, (6, 3))
+        pick = rng.integers(0, 6, k)
+        cen = (blobs[pick] + rng.normal(0, 0.08, (k, 3))).astype(np.float32)
+        cen_list.append(jnp.asarray(cen))
+        bat_list.append(jnp.asarray(rng.integers(0, 2, k).astype(np.int32)))
+        v_list.append(jnp.asarray(rng.random(k) > 0.15))
+
+    got = cluster_all_groups(cen_list, bat_list, v_list, cfg, batch_size=2)
+    for g in range(cfg.num_groups):
+        ref_lab, ref_ok = cluster_one_group(
+            cen_list[g], bat_list[g], v_list[g], g, cfg)
+        lab, ok = np.asarray(got[g][0]), np.asarray(got[g][1])
+        ref_lab, ref_ok = np.asarray(ref_lab), np.asarray(ref_ok)
+        np.testing.assert_array_equal(ok, ref_ok, err_msg=f"group {g}")
+        # partition equivalence: same-cluster relation must match exactly
+        b = np.asarray(bat_list[g])
+        key_got = [(b[i], lab[i]) for i in range(k)]
+        key_ref = [(b[i], ref_lab[i]) for i in range(k)]
+        same_got = np.array(
+            [[ok[i] and ok[j] and key_got[i] == key_got[j] for j in range(k)]
+             for i in range(k)])
+        same_ref = np.array(
+            [[ref_ok[i] and ref_ok[j] and key_ref[i] == key_ref[j] for j in range(k)]
+             for i in range(k)])
+        np.testing.assert_array_equal(same_got, same_ref, err_msg=f"group {g}")
