@@ -50,7 +50,7 @@ class SegmentorCore(nn.Module):
         xyz = pb.xyz
         seg, _, vox_batch, vox_coords = voxelize_points(
             xyz, pb.batch_idx, pb.valid, c.voxel_size, c.point_cloud_range,
-            self.caps.voxels,
+            self.caps.voxels, batch_size=batch_size,
         )
         pt_valid = pb.valid & (seg.seg_id < self.caps.voxels)
 

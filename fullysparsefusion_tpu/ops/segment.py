@@ -95,6 +95,87 @@ def unique_segments(keys: jax.Array, valid: jax.Array, capacity: int) -> Segment
     )
 
 
+_CUMSUM_LANE = 512
+_CUMSUM_BASE = 4096   # below this, plain jnp.cumsum is fine
+
+
+def cumsum_marks(marks: jax.Array) -> jax.Array:
+    """Inclusive prefix sum over a flat 0/1 mark vector, exact, in int32.
+
+    XLA lowers ``jnp.cumsum`` over multi-million-element vectors to a
+    log2(N) chain of shifted adds (~full-vector passes each) — measured as
+    the reason the sort-free dense unique lost to the argsort path
+    (docs/performance.md round-3 negatives). This form runs the scan on
+    the MXU instead: rows of a [M, 512] view are prefix-summed by one
+    matmul with a triangular ones matrix, and row offsets recurse on
+    the 512×-smaller row totals.
+
+    Exactness: level-one operands are 0/1 (bf16-exact) with partial sums
+    ≤ 512 (f32-exact); the one possible recursive matmul level has
+    operands ≤ 512 and partial sums ≤ 512² < 2²⁴ (f32-exact); vectors
+    ≤ 4096 run plain int32 cumsum. Exact for N ≤ 512·512·4096 ≈ 1.07e9.
+    """
+    n = marks.shape[0]
+    assert n <= _CUMSUM_LANE * _CUMSUM_LANE * _CUMSUM_BASE, (
+        "cumsum_marks exactness bound exceeded")
+
+    def rec(vec, top_level):
+        m = vec.shape[0]
+        if m <= _CUMSUM_BASE:
+            return jnp.cumsum(vec.astype(jnp.int32))
+        rows = -(-m // _CUMSUM_LANE)
+        dt = jnp.bfloat16 if top_level else jnp.float32
+        v = jnp.pad(vec.astype(dt), (0, rows * _CUMSUM_LANE - m))
+        v = v.reshape(rows, _CUMSUM_LANE)
+        # within[r, j] = Σ_{l ≤ j} v[r, l]  ⇒  tri[l, j] = [l ≤ j] (upper)
+        tri = jnp.triu(jnp.ones((_CUMSUM_LANE, _CUMSUM_LANE), dt))
+        within = jax.lax.dot(
+            v, tri, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)                       # [rows, L] inclusive-in-row
+        tot = within[:, -1]                       # [rows] ≤ 512 each (marks)
+        offs = rec(tot, False) - tot              # exclusive row offsets
+        return (within + offs[:, None]).reshape(-1)[:m]
+
+    return rec(marks, True)
+
+
+def unique_segments_dense(
+    keys: jax.Array, valid: jax.Array, cells: int, capacity: int
+) -> SegmentInfo:
+    """``unique_segments`` without the argsort, for keys known to lie in
+    ``[0, cells)``: mark a dense cell grid, rank active cells with the MXU
+    prefix sum (:func:`cumsum_marks`), and invert with unique-index
+    scatters. Segment ids come out in ascending key order — identical
+    semantics to the sorted path (property-tested in tests/test_segment.py).
+
+    Worth it when ``cells`` is small enough that two dense passes beat an
+    8·N-key argsort; call sites gate on a cell budget.
+    """
+    n = keys.shape[0]
+    keys = keys.astype(jnp.int32)
+    safe = jnp.where(valid, keys, 0).clip(0, cells - 1)
+    occ = jnp.zeros((cells,), jnp.int8).at[safe].max(valid.astype(jnp.int8))
+    incl = cumsum_marks(occ)                      # [cells] i32
+    num_segments = incl[-1]
+    rank = incl[safe] - 1                         # exclusive rank of the cell
+    ok = valid & (rank < capacity)
+    seg_id = jnp.where(ok, rank, capacity).astype(jnp.int32)
+    unique_keys = (
+        jnp.full((capacity + 1,), INVALID_KEY, jnp.int32)
+        .at[seg_id].set(jnp.where(ok, keys, INVALID_KEY))[:capacity]
+    )
+    counts = jax.ops.segment_sum(
+        jnp.ones((n,), jnp.int32), seg_id, num_segments=capacity + 1
+    )[:capacity]
+    return SegmentInfo(
+        seg_id=seg_id,
+        unique_keys=unique_keys,
+        counts=counts,
+        num_segments=num_segments,
+        seg_valid=unique_keys != INVALID_KEY,
+    )
+
+
 def _num_rows(seg: SegmentInfo) -> int:
     return seg.capacity + 1
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from .segment import unique_segments, INVALID_KEY
+from .segment import unique_segments, unique_segments_dense, INVALID_KEY
 
 
 @struct.dataclass
@@ -68,6 +68,17 @@ DENSE_LOOKUP_MAX_CELLS = 160 * 1024 * 1024
 # pair queries use per-tap scalar lookups from the dense table (the
 # middle tier — still O(1) per query, ~3× the gather cost of triplets).
 TRIPLET_MAX_CELLS = 96 * 1024 * 1024
+# Sort-free unique (mark grid → MXU prefix sum → invert,
+# segment.unique_segments_dense) replaces the 8·cap-key argsort in
+# downsample_coords when the out grid fits this budget. The earlier
+# sort-free attempt was a wash ONLY because XLA's cumsum over the cell
+# table is a log2(N) pass chain (docs/performance.md round-3 negatives);
+# cumsum_marks runs it on the MXU.
+DENSE_UNIQUE_MAX_CELLS = 160 * 1024 * 1024
+
+
+def _use_dense_unique(cells: int) -> bool:
+    return 0 < cells <= DENSE_UNIQUE_MAX_CELLS
 
 
 def _use_dense(st: SparseTensor) -> bool:
@@ -906,7 +917,11 @@ def downsample_coords(
         cand_valid.append(ok)
     keys = jnp.concatenate(cand_keys)
     oks = jnp.concatenate(cand_valid)
-    seg = unique_segments(keys, oks, out_capacity)
+    cells = st.batch_size * nx * ny * nz
+    if _use_dense_unique(cells):
+        seg = unique_segments_dense(keys, oks, cells, out_capacity)
+    else:
+        seg = unique_segments(keys, oks, out_capacity)
     safe = jnp.where(seg.seg_valid, seg.unique_keys, 0)
     # delinearize against out_dims
     x = safe % nx

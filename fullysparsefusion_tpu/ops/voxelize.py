@@ -13,7 +13,9 @@ from typing import Dict, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .segment import SegmentInfo, unique_segments, segment_mean
+from .segment import (
+    SegmentInfo, unique_segments, unique_segments_dense, segment_mean,
+)
 
 
 def voxel_coords(
@@ -81,6 +83,7 @@ def voxelize_points(
     voxel_size: Sequence[float],
     pc_range: Sequence[float],
     capacity: int,
+    batch_size: int = 0,
 ) -> Tuple[SegmentInfo, jax.Array, jax.Array, jax.Array]:
     """Dynamic voxelization: group points into voxels with static capacity.
 
@@ -88,12 +91,22 @@ def voxelize_points(
       seg — SegmentInfo keyed by linearized (batch,z,y,x);
       coords_xyz — per-point voxel coords;
       voxel coords/batch recovered from unique keys (INVALID slots → 0).
+
+    ``batch_size`` (static) bounds the key space: when given and the grid
+    fits the dense-unique budget, the group-by runs sort-free
+    (segment.unique_segments_dense); 0 keeps the sorted path.
     """
+    from .sparse_conv import _use_dense_unique
+
     coords, in_range = voxel_coords(xyz, voxel_size, pc_range)
     ok = valid & in_range
     dims = grid_dims(voxel_size, pc_range)
     keys = linearize_coords(coords, batch_idx, dims)
-    seg = unique_segments(keys, ok, capacity)
+    cells = batch_size * dims[0] * dims[1] * dims[2]
+    if _use_dense_unique(cells):
+        seg = unique_segments_dense(keys, ok, cells, capacity)
+    else:
+        seg = unique_segments(keys, ok, capacity)
     safe_keys = jnp.where(seg.seg_valid, seg.unique_keys, 0)
     vox_coords, vox_batch = delinearize_coords(safe_keys, dims)
     return seg, coords, vox_batch, vox_coords

@@ -129,3 +129,30 @@ def test_gather_rows_vjp_matches_autodiff():
     g2 = jax.grad(f_plain)(table)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_unique_segments_dense_matches_sorted(seed):
+    """Sort-free dense path == sorted path field-for-field (incl. overflow
+    + invalid handling)."""
+    from fullysparsefusion_tpu.ops.segment import unique_segments_dense
+
+    rng = np.random.default_rng(seed)
+    n, cap, cells = 513, 48, 600
+    keys = rng.integers(0, cells, size=n).astype(np.int32)
+    valid = rng.random(n) > 0.25
+    a = unique_segments(jnp.asarray(keys), jnp.asarray(valid), cap)
+    b = unique_segments_dense(jnp.asarray(keys), jnp.asarray(valid), cells, cap)
+    for f in ("seg_id", "unique_keys", "counts", "num_segments", "seg_valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f)
+
+
+@pytest.mark.parametrize("n", [5, 512, 4097, 300_001, 2_100_001])
+def test_cumsum_marks_exact(n):
+    from fullysparsefusion_tpu.ops.segment import cumsum_marks
+
+    rng = np.random.default_rng(n)
+    marks = (rng.random(n) < 0.37).astype(np.int8)
+    got = np.asarray(jax.jit(cumsum_marks)(jnp.asarray(marks)))
+    np.testing.assert_array_equal(got, np.cumsum(marks.astype(np.int64)))

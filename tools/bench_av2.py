@@ -1,0 +1,209 @@
+"""AV2-config TPU bench (VERDICT r2 #4): FSF at Argoverse2 scale.
+
+Runs the FSF forward with the ACTUAL reference AV2 config
+(/root/reference/projects/configs/Argoverse2/FSF_AV2_config.py — [32, 2048,
+2048] stage-0 grid, 26 classes, 7 ring cameras, code_size 8) on a synthetic
+AV2-scale scene, and prints one JSON line like bench.py.
+
+The [32,2048,2048] grid (134 M cells) exceeds the x-triplet budget, so
+stage 0 exercises the MIDDLE lookup tier (dense O(1) row table, per-tap
+scalar lookups — ops/sparse_conv.py) that tests/test_av2_scale.py pins.
+
+    python tools/bench_av2.py            # bench (one JSON line)
+    python tools/bench_av2.py --probe    # per-stage occupancy counts only
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import numpy as np
+
+AV2_CFG = "/root/reference/projects/configs/Argoverse2/FSF_AV2_config.py"
+
+# Stage occupancies measured via --probe on the synthetic AV2 scene
+# (extent 190 m, 2-sweep dual-lidar scan model, 131k points): see
+# docs/performance.md "AV2 scale" — sized +~15% headroom, stage 0 rounded
+# to the 128k cap.
+STAGE_CAPS = (98304, 65536, 32768, 12288, 4096)
+
+
+def build_av2_model(batch: int, probe: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _enable_compile_cache
+    _enable_compile_cache()
+
+    from fullysparsefusion_tpu.config import Capacities
+    from fullysparsefusion_tpu.config_compat import load_fsf_config
+    from fullysparsefusion_tpu.models.fsf import FSF
+    from fixtures import make_lidar_scene, make_camera_data, with_noaug_channels
+    from fullysparsefusion_tpu.utils.containers import PointBatch
+
+    caps = Capacities(
+        points=131072 * batch, voxels=STAGE_CAPS[0] * batch,
+        prevox=98304 * batch, fg_per_group=4096 * batch,
+        cluster_voxels_per_group=1024 * batch, clusters=1024 * batch,
+        max_gt=128, frustum_points=16384 * batch,
+        frustum_objects=256 * batch, roi_points=32768 * batch,
+        max_roi_points=512,
+    )
+    cfg = load_fsf_config(AV2_CFG, caps=caps)
+    seg = dataclasses.replace(
+        cfg.fsd.segmentor,
+        unet_stage_capacities=tuple(c * batch for c in STAGE_CAPS),
+    )
+    cfg = dataclasses.replace(
+        cfg, fsd=dataclasses.replace(cfg.fsd, segmentor=seg))
+
+    per = 131072
+    pbs, gts = [], []
+    for b in range(batch):
+        # AV2: ONE dual-lidar frame (no sweep accumulation,
+        # AV2_dataloader.py:66-78) over ±204.8 m — model the larger area
+        # with more rings/facades, 2 "sweeps" for the two stacked lidars
+        pb_b, gt_b = make_lidar_scene(
+            seed=b, n_cap=per, max_gt=caps.max_gt, n_boxes=48,
+            num_classes=cfg.num_classes, point_dim=cfg.fsd.segmentor.point_dim,
+            extent=190.0, n_rings=64, pts_per_ring=1600, n_walls=48, sweeps=2,
+        )
+        pbs.append(pb_b)
+        gts.append(gt_b)
+    pb = PointBatch(
+        points=jnp.concatenate([p.points for p in pbs]),
+        batch_idx=jnp.concatenate(
+            [p.batch_idx + b for b, p in enumerate(pbs)]),
+        valid=jnp.concatenate([p.valid for p in pbs]),
+    )
+    gt = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *gts)
+    # 7 ring cameras, 1550x2048 portrait at 2x downsample
+    cam = make_camera_data(
+        pb, gt, batch_size=batch, num_cams=cfg.num_cams,
+        num_classes=cfg.num_classes, img_h=1024, img_w=775, max_anno=250,
+        fx=900.0,
+    )
+    pb = with_noaug_channels(pb)
+    if probe:
+        return cfg, None, None, pb, cam
+    model = FSF(cfg=cfg)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        pb_cpu = jax.device_put(pb, cpu)
+        cam_cpu = jax.device_put(cam, cpu)
+        vars_ = jax.jit(
+            lambda k, p, c: FSF(cfg=cfg).init(
+                k, p, c, batch, None, None, False,
+                method=lambda m, *a, **k_: m(*a, **k_),
+            )
+        )(jax.random.key(0), pb_cpu, cam_cpu)
+    dev = jax.devices()[0]
+    return (cfg, model, jax.device_put(vars_, dev),
+            jax.device_put(pb, dev), jax.device_put(cam, dev))
+
+
+def probe_occupancy(cfg, pb, batch):
+    """Voxelize + the UNet's downsample chain only (no convs): per-stage
+    active-voxel counts, for sizing STAGE_CAPS."""
+    import jax
+    import jax.numpy as jnp
+    from fullysparsefusion_tpu.ops.voxelize import voxelize_points, grid_dims
+    from fullysparsefusion_tpu.ops.sparse_conv import (
+        SparseTensor, downsample_coords,
+    )
+    from fullysparsefusion_tpu.utils.containers import PointBatch
+
+    sc = cfg.fsd.segmentor
+    pb_in = PointBatch(
+        points=pb.points[:, :-3], batch_idx=pb.batch_idx, valid=pb.valid)
+
+    def counts(pb_in):
+        seg, _, vb, vc = voxelize_points(
+            pb_in.xyz, pb_in.batch_idx, pb_in.valid, sc.voxel_size,
+            sc.point_cloud_range, cfg.fsd.caps.voxels,
+        )
+        dims = grid_dims(sc.voxel_size, sc.point_cloud_range)
+        st = SparseTensor(
+            feats=jnp.zeros((cfg.fsd.caps.voxels, 1), jnp.float32),
+            coords=vc, batch=vb, valid=seg.seg_valid,
+            dims=dims, batch_size=batch,
+        )
+        out = [st.valid.sum()]
+        caps = sc.unet_stage_capacities
+        for i, pad in enumerate(sc.unet_strided_paddings):
+            oc, ob, ov, od = downsample_coords(
+                st, (3, 3, 3), (2, 2, 2), pad, caps[i + 1])
+            st = SparseTensor(
+                feats=jnp.zeros((caps[i + 1], 1), jnp.float32),
+                coords=oc, batch=ob, valid=ov, dims=od, batch_size=batch,
+            )
+            out.append(ov.sum())
+        return jnp.stack(out)
+
+    c = np.asarray(jax.jit(counts)(pb_in))
+    print(json.dumps({
+        "probe": "av2 per-stage active voxels",
+        "stages": [int(x) for x in c],
+        "caps": list(sc.unet_stage_capacities),
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--probe", action="store_true")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from bench import _wait_for_backend
+    _wait_for_backend()
+    import jax
+
+    batch = int(os.environ.get("FSF_BENCH_BATCH", 1))
+    if args.probe:
+        cfg, _, _, pb, cam = build_av2_model(batch, probe=True)
+        probe_occupancy(cfg, pb, batch)
+        return
+
+    cfg, model, vars_, pb, cam = build_av2_model(batch)
+
+    @jax.jit
+    def fwd(vars_, pb, cam):
+        out = model.apply(vars_, pb, cam, batch, None, None, False)
+        fin = out["final"]
+        return fin["cls_logits"], fin["reg_preds"], fin["centers"], fin["q_valid"]
+
+    t0 = time.time()
+    r = fwd(vars_, pb, cam)
+    np.asarray(r[0][:1])
+    compile_s = time.time() - t0
+    r = fwd(vars_, pb, cam)     # second call: one-time layout/dispatch cost
+    np.asarray(r[0][:1])
+    t0 = time.time()
+    for _ in range(args.iters):
+        out = fwd(vars_, pb, cam)
+    np.asarray(out[0][:1])
+    dt = (time.time() - t0) / args.iters
+    print(json.dumps({
+        "metric": "frames/sec/chip FSF AV2 val inference (reference config, synthetic scene+masks)",
+        "value": round(batch / dt, 2),
+        "unit": "frames/sec/chip",
+        "detail": {
+            "ms_per_frame": round(dt * 1000, 1),
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+            "grid": "32x2048x2048",
+            "num_classes": cfg.num_classes,
+            "num_cams": cfg.num_cams,
+            "batch": batch,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

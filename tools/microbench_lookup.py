@@ -93,15 +93,18 @@ def main():
 
         @contextlib.contextmanager
         def cm():
-            orig = sc._use_triplets, sc._use_dense
+            orig = sc._use_triplets, sc._use_dense, sc._use_dense_unique
             try:
                 if "triplets" in gates:
                     sc._use_triplets = gates["triplets"]
                 if "dense" in gates:
                     sc._use_dense = gates["dense"]
+                if "dense_unique" in gates:
+                    sc._use_dense_unique = gates["dense_unique"]
                 yield
             finally:
-                sc._use_triplets, sc._use_dense = orig
+                (sc._use_triplets, sc._use_dense,
+                 sc._use_dense_unique) = orig
         return cm()
 
     off = lambda s: False
@@ -114,10 +117,22 @@ def main():
         timeit("rb_mid", jax.jit(
             lambda st: build_subm_rulebook(st).rows.astype(jnp.int32).sum()), st0)
 
-    # downsample stage 0 -> 1
+    # downsample stage 0 -> 1: sorted argsort-unique vs sort-free dense
+    # unique (mark grid -> MXU prefix sum, segment.unique_segments_dense)
     ds = lambda st: downsample_coords(st, (3, 3, 3), (2, 2, 2), pad1, s1_cap)[0].sum()
-    with forced({}):
+    uoff = lambda cells: False
+    with forced({"dense_unique": uoff}):
         timeit("ds_sorted", jax.jit(ds), st0)
+    with forced({}):
+        timeit("ds_dense", jax.jit(ds), st0)
+
+    # stage-0 voxelization (131k points -> 57k voxels over 10.5M cells)
+    vox = lambda p, bs: voxelize_points(
+        p.xyz, p.batch_idx, p.valid, sgc.voxel_size, sgc.point_cloud_range,
+        caps.voxels, batch_size=bs,
+    )[0].seg_id.sum()
+    timeit("vox_sorted", jax.jit(lambda p: vox(p, 0)), pb_in)
+    timeit("vox_dense", jax.jit(lambda p: vox(p, 1)), pb_in)
 
     # pair rows: mul (41k queries into stage-0 set), div (57k into stage-1)
     mul = lambda st1_, st0_: _pair_query_rows(
