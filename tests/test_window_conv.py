@@ -1,0 +1,76 @@
+"""Oracle tests for the window-gather conv kernel (pallas_kernels) against
+the plain gather form it replaces."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fullysparsefusion_tpu.ops.pallas_kernels import (
+    window_gather_conv, window_starts,
+)
+
+
+def _mk(seed, cap=512, blk=128, cin=32, cout=48, band=40, miss_rate=0.6):
+    """Local-banded rulebook mimicking sorted-slot structure: each dz group
+    reads rows within ±band of a per-group anchor near the output index."""
+    rng = np.random.default_rng(seed)
+    rows = np.empty((27, cap), np.int32)
+    for dz in range(3):
+        anchor = np.clip(np.arange(cap) + rng.integers(-60, 60), 0, cap - 1)
+        for k in range(9 * dz, 9 * dz + 9):
+            r = np.clip(anchor + rng.integers(-band, band, cap), 0, cap - 1)
+            miss = rng.random(cap) < miss_rate
+            rows[k] = np.where(miss, cap, r)
+    feats = rng.normal(0, 1, (cap, cin)).astype(jnp.bfloat16)
+    w = (rng.normal(0, 0.1, (27, cin, cout))).astype(jnp.bfloat16)
+    return jnp.asarray(rows), jnp.asarray(feats), jnp.asarray(w)
+
+
+def _oracle(feats, rows, w):
+    fz = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]), feats.dtype)])
+    out = jnp.zeros((feats.shape[0], w.shape[-1]), jnp.float32)
+    for k in range(rows.shape[0]):
+        out = out + jnp.dot(fz[rows[k]], w[k],
+                            preferred_element_type=jnp.float32)
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_window_gather_conv_matches_gather(seed):
+    rows, feats, w = _mk(seed)
+    got = window_gather_conv(feats, rows, w, w_size=256, blk=128,
+                             interpret=True)
+    ref = _oracle(feats, rows, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=0)
+
+
+def test_window_starts_overflow_probe():
+    rows, feats, w = _mk(2, band=40)
+    # wide-enough windows: zero dropped hits
+    _, _, oob = window_starts(rows, rows.shape[1], 128, 256)
+    assert int(oob) == 0
+    # pathologically narrow windows: probe counts the dropped hits and the
+    # kernel treats them as misses (graceful capacity semantics)
+    starts, lrows, oob2 = window_starts(rows, rows.shape[1], 128, 32)
+    assert int(oob2) > 0
+    got = window_gather_conv(feats, rows, w, w_size=32, blk=128,
+                             interpret=True)
+    fz = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]), feats.dtype)])
+    ref = jnp.zeros((feats.shape[0], w.shape[-1]), jnp.float32)
+    l32 = lrows.transpose(1, 0, 2).reshape(27, -1)
+    s32 = jnp.repeat(starts.T, 128, axis=1)      # [3, cap]
+    for k in range(27):
+        eff = jnp.where(l32[k] >= 0, l32[k] + s32[k // 9], rows.shape[1])
+        ref = ref + jnp.dot(fz[eff], w[k], preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
+def test_window_gather_conv_all_miss_block():
+    rows, feats, w = _mk(3)
+    rows = rows.at[:, :128].set(rows.shape[1])   # block 0: every tap misses
+    got = window_gather_conv(feats, rows, w, w_size=256, blk=128,
+                             interpret=True)
+    assert np.all(np.asarray(got[:128]) == 0.0)
+    ref = _oracle(feats, rows, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
