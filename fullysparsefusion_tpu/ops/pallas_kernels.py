@@ -178,6 +178,7 @@ def window_gather_conv(
     """Σ_k feats[rows[k]] @ w[k] with f32 accumulation — the window-DMA +
     one-hot-MXU form of sparse_conv._gather_conv. Returns [cap, Cout] f32
     (caller masks by out-validity, same contract as _gather_conv)."""
+    interpret = interpret or not _on_tpu()
     cap, cin = feats.shape
     k3, _ = rows.shape
     cout = w.shape[-1]

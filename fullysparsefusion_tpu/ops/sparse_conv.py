@@ -670,6 +670,65 @@ _subm_conv_core_compact.defvjp(_subm_conv_compact_fwd, _subm_conv_compact_bwd)
 _subm_conv_core_compact2.defvjp(_subm_conv_compact2_fwd, _subm_conv_compact2_bwd)
 
 
+_WINDOW_CONV_W = int(os.environ.get("FSF_WINDOW_CONV", "0") or 0)
+_WINDOW_BLK = 256
+
+
+def _window_ok(cap: int, k3: int) -> bool:
+    return (
+        _WINDOW_CONV_W > 0
+        and k3 == 27
+        and cap % _WINDOW_BLK == 0
+        and jax.default_backend() == "tpu"
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _subm_conv_core_window(feats, w, valid, rows, compute_dtype_name: str,
+                           w_size: int):
+    """Submanifold conv through pallas_kernels.window_gather_conv: bulk
+    window DMAs + one-hot MXU gathers instead of 27 row gathers (the XLA
+    gather engine is row-rate-bound; see the kernel docstring). Numerics
+    match _subm_conv_core (bf16 rows, f32 accumulation)."""
+    from .pallas_kernels import window_gather_conv
+
+    cdtype = jnp.dtype(compute_dtype_name)
+    out = window_gather_conv(
+        feats.astype(cdtype), rows, w.astype(cdtype),
+        w_size=w_size, blk=_WINDOW_BLK)
+    return out * valid[:, None].astype(out.dtype)
+
+
+def _subm_conv_window_fwd(feats, w, valid, rows, compute_dtype_name, w_size):
+    return (
+        _subm_conv_core_window(feats, w, valid, rows, compute_dtype_name,
+                               w_size),
+        (feats, w, valid, rows),
+    )
+
+
+def _subm_conv_window_bwd(compute_dtype_name, w_size, res, g):
+    """Same mirrored-rulebook structure as _subm_conv_bwd: d_feats is
+    itself a window-gather conv with flipped taps and transposed weights;
+    d_w re-gathers the forward rows through the XLA path (27 [Cin, cap] ×
+    [cap, Cout] products — matmul-bound, not gather-bound)."""
+    from .pallas_kernels import window_gather_conv
+
+    feats, w, valid, rows = res
+    cdtype = jnp.dtype(compute_dtype_name)
+    g = g * valid[:, None].astype(g.dtype)
+    wT = w.transpose(0, 2, 1).astype(cdtype)
+    d_feats = window_gather_conv(
+        g.astype(cdtype), jnp.flip(rows, axis=0), wT,
+        w_size=w_size, blk=_WINDOW_BLK).astype(feats.dtype)
+    f16 = _append_zero_row(feats).astype(cdtype)
+    d_w = _dw_per_tap(f16, rows, g, cdtype, w.dtype)
+    return d_feats, d_w, None, None
+
+
+_subm_conv_core_window.defvjp(_subm_conv_window_fwd, _subm_conv_window_bwd)
+
+
 def mirror_rulebook(rb: Rulebook) -> Rulebook:
     """Rulebook of the mirrored tap set (o_{K³−1−k} = −o_k) — the pair map
     the backward gathers through; compact it for a compact d_feats."""
@@ -724,6 +783,9 @@ def subm_conv_apply(
         out = _subm_conv_core_compact(
             feats, w, valid, rb.rows, crb.ysrc, crb.starts, cdn,
             identity_tap)
+    elif _window_ok(feats.shape[0], rb.rows.shape[0]):
+        out = _subm_conv_core_window(
+            feats, w, valid, rb.rows, cdn, _WINDOW_CONV_W)
     else:
         out = _subm_conv_core(feats, w, valid, rb.rows, cdn, identity_tap)
     if b is not None:

@@ -74,3 +74,26 @@ def test_window_gather_conv_all_miss_block():
     assert np.all(np.asarray(got[:128]) == 0.0)
     ref = _oracle(feats, rows, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
+def test_window_conv_core_grads_match_gather_core():
+    """The window conv's custom VJP (mirrored-rulebook d_feats + re-gathered
+    d_w) must match the gather core's VJP exactly."""
+    import fullysparsefusion_tpu.ops.sparse_conv as sc
+
+    rows, feats, w = _mk(5, cap=256, blk=128, cin=16, cout=16, band=30)
+    valid = jnp.arange(256) < 230
+    f32 = feats.astype(jnp.float32)
+
+    def loss_win(f, w_):
+        o = sc._subm_conv_core_window(f, w_, valid, rows, "bfloat16", 256)
+        return (o * o).sum()
+
+    def loss_ref(f, w_):
+        o = sc._subm_conv_core(f, w_, valid, rows, "bfloat16", None)
+        return (o * o).sum()
+
+    gw = jax.grad(loss_win, argnums=(0, 1))(f32, w.astype(jnp.float32))
+    gr = jax.grad(loss_ref, argnums=(0, 1))(f32, w.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gr[0]), atol=0)
+    np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gr[1]), atol=0)
