@@ -45,6 +45,29 @@ class ForegroundSet(NamedTuple):
     valid: jax.Array         # [F]
 
 
+def _force_one_fg_per_sample(
+    fg: jax.Array, batch_idx: jax.Array, valid: jax.Array, batch_size: int
+) -> jax.Array:
+    """Guarantee ≥1 foreground point per sample (single_stage_fsd.py:832-834
+    and :709-711): any sample whose group mask came up empty gets its first
+    valid point forced to foreground, so early training (segmentor below
+    threshold everywhere) still feeds each sample one cluster candidate.
+    Static-shape form: segment-min for each sample's first valid slot, then
+    a batch-size scatter — invalid rows can never be forced."""
+    n = fg.shape[0]
+    seg = jnp.where(valid, batch_idx, batch_size).clip(0, batch_size)
+    has_fg = (
+        jax.ops.segment_sum(fg.astype(jnp.int32), seg, batch_size + 1) > 0
+    )[:batch_size]
+    first = jax.ops.segment_min(
+        jnp.where(valid, jnp.arange(n), n), seg, batch_size + 1
+    )[:batch_size]
+    need = ~has_fg & (first < n)
+    return fg | jnp.zeros_like(fg).at[first.clip(0, n - 1)].max(
+        need, mode="drop"
+    )
+
+
 def group_sample(
     seg_logits: jax.Array,   # [P, C+1]
     offsets: jax.Array,      # [P, (C+1)*3] decoded vote offsets
@@ -54,12 +77,16 @@ def group_sample(
     thresh_buffer=0.0,       # scalar added to every group threshold
                               # (EnableFSDDetectionHookIter decay,
                               # single_stage_fsd.py:751-755)
+    batch_idx: Optional[jax.Array] = None,
+    batch_size: int = 1,
 ) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
     """Per-group foreground masks + voted centers (single_stage_fsd.py:802-875).
 
     Scores are softmax over (C+1); a group's score is the sum of its member
     classes; the vote offset is the member-class offset weighted by a one-hot
     (tie-split) of the max member logit (offset_weight='max', :867-875).
+    When ``batch_idx`` is given, each sample is guaranteed ≥1 foreground
+    point per group (:832-834).
     """
     num_classes = cfg.num_classes
     scores = jax.nn.softmax(seg_logits, axis=1)[:, :num_classes]
@@ -69,6 +96,8 @@ def group_sample(
         ids = jnp.asarray(cls_ids)
         g_score = scores[:, ids].sum(axis=1)
         fg = valid & (g_score > cfg.score_thresh[g] + thresh_buffer)
+        if batch_idx is not None:
+            fg = _force_one_fg_per_sample(fg, batch_idx, valid, batch_size)
         logits_g = seg_logits[:, ids]
         mx = jnp.max(logits_g, axis=1, keepdims=True)
         w = (jnp.abs(logits_g - mx) < 1e-6).astype(off.dtype)
@@ -303,7 +332,7 @@ class FSDQueryBranch(nn.Module):
 
         fg_masks, centers = group_sample(
             red["logits"], red["offsets"], red["points"][:, :3], pv_valid, c,
-            thresh_buffer,
+            thresh_buffer, batch_idx=pv_batch, batch_size=batch_size,
         )
 
         # compact each group's foreground to a static capacity

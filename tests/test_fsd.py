@@ -91,6 +91,35 @@ def test_group_sample_thresholds():
         np.testing.assert_allclose(np.asarray(centers[g]), np.asarray(xyz), atol=1e-6)
 
 
+def test_group_sample_forces_one_fg_per_sample():
+    """≥1-fg-point-per-sample guard (single_stage_fsd.py:832-834): with
+    logits far below every threshold, each valid sample still surfaces
+    exactly its first valid point per group; invalid rows never leak."""
+    cfg = tiny_fsd_config()
+    n = 64
+    logits = jnp.full((n, 11), -20.0).at[:, 10].set(20.0)  # all background
+    offsets = jnp.zeros((n, 33))
+    xyz = jnp.zeros((n, 3))
+    valid = (jnp.arange(n) % 4) != 3          # every 4th row is padding
+    batch_idx = (jnp.arange(n) // 32).astype(jnp.int32)  # 2 samples
+    masks, _ = group_sample(
+        logits, offsets, xyz, valid, cfg, batch_idx=batch_idx, batch_size=2)
+    for m in masks:
+        m = np.asarray(m)
+        assert m[:32].sum() == 1 and m[32:].sum() == 1
+        assert m[0] and m[32]                 # first valid slot per sample
+        assert not np.any(m & ~np.asarray(valid))
+    # without batch_idx the guard is off: all-background → empty masks
+    masks_off, _ = group_sample(logits, offsets, xyz, valid, cfg)
+    assert all(int(np.asarray(m).sum()) == 0 for m in masks_off)
+    # sample with zero valid points stays empty (nothing to force)
+    masks2, _ = group_sample(
+        logits, offsets, xyz, valid & (batch_idx == 0), cfg,
+        batch_idx=batch_idx, batch_size=2)
+    for m in masks2:
+        assert int(np.asarray(m)[32:].sum()) == 0
+
+
 def test_cluster_one_group_two_blobs():
     cfg = tiny_fsd_config()
     rng = np.random.default_rng(1)
