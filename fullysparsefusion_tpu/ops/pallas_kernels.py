@@ -98,119 +98,200 @@ def ccl_sweeps_pallas(
 # The XLA gather engine is row-rate-bound (~380 M rows/s on v5e,
 # docs/performance.md): a 27-tap conv over a 57k active set spends ~4 ms
 # just issuing 1.5 M row gathers. But active slots are sorted by
-# (batch, z, y, x), so the 9 taps sharing one dz read from a CONTIGUOUS
-# slot window around the dz-shifted position. This kernel DMAs those three
-# windows per output block (bulk, bandwidth-rate) and realizes each tap's
-# within-window gather as a one-hot matmul on the MXU:
+# (batch, z, y, x), so the 3 dx taps sharing one (dz, dy) read from a
+# CONTIGUOUS slot window around the (dz, dy)-shifted position (the x-run
+# of that neighbor y-row, spanning the block's own x-range). This kernel
+# DMAs those nine windows per output block (bulk, bandwidth-rate) and
+# realizes each tap's within-window gather as a one-hot matmul on the MXU:
 #
-#   out[j] += Σ_k (iota == local_k[j]) @ window_dz(k) @ w[k]
+#   out[j] += Σ_k (iota == local_k[j]) @ window_{k//3}(j-block) @ w[k]
 #
 # Misses and out-of-window rows get local = -1 → an all-zero one-hot row,
-# so no mask multiplies are needed. Window starts are exact per-block
-# minima (element granularity via dynamic-slice DMA), window size W is a
-# static capacity like every other set bound in this framework; rows
-# falling outside are counted by the XLA-side probe (window_overflow_count)
-# — the bench scene measures 0 at W=768.
+# so no mask multiplies are needed. Window starts are per-block minima
+# (16-row aligned for Mosaic's DMA tiling rule), window size W is a static
+# capacity like every other set bound in this framework. Hits falling
+# outside BOTH windows (a handful of blocks straddle z-plane / sample
+# boundaries, splitting a tap group's hits into 3+ distant runs — measured
+# floor ~650 at any W on the bench scene's stage 0) are repaired EXACTLY
+# by an XLA-side residual pass: compact the straddling (tap-group, block)
+# pairs to a static capacity `resid`, re-gather their rows, and scatter-add
+# the masked contributions back in one batched matmul. Only residual-
+# capacity overflow (straddling groups > resid) remains a capacity
+# condition — size `resid` so FSF_DEBUG_WINDOW=1 runs stay clean.
 
 
 def _wg_conv_kernel(feats_hbm, lrows_ref, starts_ref, w_ref, out_ref,
                     win, sems, *, w_size: int, blk: int, cin: int,
-                    cout: int, k3: int):
+                    cout: int, k3: int, ngrp: int):
+    i = pl.program_id(0)
+    # starts are stored PRE-DIVIDED by 16 and re-multiplied here: Mosaic
+    # must *prove* the dynamic slice start divisible by the (8,128) row
+    # tiling, and its affine analysis sees through x*16 but not an SMEM load
+    # starts is FLAT [nblk*ngrp*2] in SMEM: multi-dim SMEM arrays pad the
+    # minor dims to (8, 128) sublanes/lanes and blow the 1 MB SMEM budget
     copies = [
         pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(starts_ref[dz], w_size), :],
-            win.at[dz], sems.at[dz],
+            feats_hbm.at[pl.ds(starts_ref[(i * ngrp + g) * 2 + h] * 16,
+                               w_size), :],
+            win.at[g, h], sems.at[g, h],
         )
-        for dz in range(3)
+        for g in range(ngrp)
+        for h in range(2)
     ]
     for c in copies:
         c.start()
     for c in copies:
         c.wait()
     iota = jax.lax.broadcasted_iota(
-        jnp.int32, (blk, w_size), 1).astype(jnp.float32)
+        jnp.int32, (blk, 2 * w_size), 1).astype(jnp.float32)
     acc = jnp.zeros((blk, cout), jnp.float32)
     for k in range(k3):
         l = lrows_ref[k, :].astype(jnp.float32)               # [blk]
         # float-compare one-hot (i1 tiles trip Mosaic relayouts — same
         # pattern as _ccl_kernel); miss/out-of-window is -1 → all-zero row
         oh = (jnp.abs(iota - l[:, None]) < 0.5).astype(jnp.bfloat16)
-        g = jnp.dot(oh, win[k // 9].astype(jnp.bfloat16),
+        # both windows of the tap's group stacked: local ∈ [0, W) hits the
+        # low window, [W, 2W) the high one
+        pair = win[k // (k3 // ngrp)].reshape(2 * w_size, cin)
+        g = jnp.dot(oh, pair.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)       # [blk, cin]
         acc = acc + jnp.dot(g.astype(jnp.bfloat16), w_ref[k],
                             preferred_element_type=jnp.float32)
     out_ref[:] = acc
 
 
-def window_starts(rows: jax.Array, cap: int, blk: int, w_size: int):
-    """Per-(block, dz) exact window starts + in-window local rows.
+def window_starts(rows: jax.Array, cap: int, blk: int, w_size: int,
+                  ngrp: int = 9):
+    """Per-(block, tap-group) DUAL window starts + in-window local rows.
 
-    rows: [27, cap] rulebook (miss → cap). Returns (starts [nblk, 3] i32,
-    lrows [nblk, 27, blk] i32 with -1 for miss/out-of-window, overflow
-    count [] i32 — real hits dropped because the block's dz-span exceeded
-    ``w_size``; size windows so this is 0, like every capacity probe).
+    Tap groups are runs of ``k3 // ngrp`` consecutive taps — with the
+    z-major (dz, dy, dx) tap order, ``ngrp=9`` groups the 3 dx taps of one
+    (dz, dy), whose hits live in a contiguous x-run of the neighbor y-row.
+    Each group gets TWO windows: one anchored at its lowest hit, one ending
+    at its highest — an output block straddling a z-plane (or sample)
+    boundary splits a group's hits into two distant runs, which a single
+    window can never cover (measured floor ~1k dropped hits at any W).
+
+    rows: [27, cap] rulebook (miss → cap). Returns (starts [nblk, ngrp, 2]
+    i32 PRE-DIVIDED by 16, lrows [nblk, 27, blk] i32 — local ∈ [0, W) for
+    the low window, [W, 2W) for the high, -1 for miss/out-of-both,
+    oob [k3, n] bool — real hits in neither window, repaired exactly by
+    ``window_gather_conv``'s residual pass up to its static capacity).
     """
     k3, n = rows.shape
     nblk = n // blk
-    r = rows.reshape(k3, nblk, blk)
     big = jnp.int32(jnp.iinfo(jnp.int32).max)
-    per_dz = r.reshape(3, 9, nblk, blk)
-    masked = jnp.where(per_dz == cap, big, per_dz)
-    starts = masked.min(axis=(1, 3))                          # [3, nblk]
-    starts = jnp.minimum(starts, max(cap + 1 - w_size, 0))
-    starts = jnp.maximum(starts, 0).astype(jnp.int32)         # all-miss safe
-    local = per_dz - starts[:, None, :, None]
-    hit = per_dz != cap
-    oob = hit & ((local < 0) | (local >= w_size))
-    lrows = jnp.where(hit & ~oob, local, -1).astype(jnp.int32)
+    per_g = rows.reshape(ngrp, k3 // ngrp, nblk, blk)
+    hit = per_g != cap
+    masked = jnp.where(hit, per_g, big)
+    # Mosaic requires dynamic-slice starts on (8,128)-tiled memrefs to be
+    # tile-aligned (bf16 packs 2 rows/sublane → align 16); the clip bound
+    # too. The ≤15-row slack this eats is covered by the overflow probe.
+    bound = max(cap + 1 - w_size, 0) // 16 * 16
+    lo = ((masked.min(axis=(1, 3)) // 16) * 16).clip(0, bound)  # [ngrp, nblk]
+    end = jnp.where(hit, per_g, -1).max(axis=(1, 3))
+    hi = jnp.maximum((end + 1 - w_size + 15) // 16 * 16, lo).clip(0, bound)
+    l1 = per_g - lo[:, None, :, None]
+    l2 = per_g - hi[:, None, :, None]
+    in1 = hit & (l1 >= 0) & (l1 < w_size)
+    in2 = hit & (l2 >= 0) & (l2 < w_size)
+    lrows = jnp.where(in1, l1, jnp.where(in2, w_size + l2, -1))
+    lrows = lrows.astype(jnp.int32)
     lrows = lrows.reshape(k3, nblk, blk).transpose(1, 0, 2)   # [nblk, 27, blk]
-    return starts.T, lrows, oob.sum().astype(jnp.int32)
+    starts = jnp.stack([lo, hi], axis=-1).astype(jnp.int32)   # [ngrp, nblk, 2]
+    oob = (hit & ~in1 & ~in2).reshape(k3, n)
+    return (starts // 16).transpose(1, 0, 2), lrows, oob
 
 
 def window_gather_conv(
-    feats: jax.Array,      # [cap, Cin] (zero row appended inside)
-    rows: jax.Array,       # [27, cap] i32, miss → cap
+    feats: jax.Array,      # [n_src, Cin] (zero row appended inside)
+    rows: jax.Array,       # [27, n_out] i32, miss → n_src
     w: jax.Array,          # [27, Cin, Cout]
-    w_size: int = 768,
+    w_size: int = 256,
     blk: int = 256,
+    ngrp: int = 9,
+    resid: int = 64,
     interpret: bool = False,
 ) -> jax.Array:
     """Σ_k feats[rows[k]] @ w[k] with f32 accumulation — the window-DMA +
-    one-hot-MXU form of sparse_conv._gather_conv. Returns [cap, Cout] f32
-    (caller masks by out-validity, same contract as _gather_conv)."""
+    one-hot-MXU form of sparse_conv._gather_conv. Returns [n_out, Cout] f32
+    (caller masks by out-validity, same contract as _gather_conv). n_out may
+    differ from n_src (strided/inverse pair convs). Exact up to ``resid``
+    (tap-group, block) pairs carrying out-of-window hits (probed by
+    sparse_conv._check_window_budget)."""
     interpret = interpret or not _on_tpu()
     cap, cin = feats.shape
-    k3, _ = rows.shape
+    k3, n_out = rows.shape
     cout = w.shape[-1]
-    assert cap % blk == 0, (cap, blk)
-    nblk = cap // blk
-    starts, lrows, _ = window_starts(rows, cap, blk, w_size)
+    assert n_out % blk == 0, (n_out, blk)
+    nblk = n_out // blk
+    # Mosaic's memref_slice needs the minor dim 128-lane aligned (a 64-wide
+    # window slice is rejected even from HBM) — pad Cin to the lane multiple;
+    # zero weight rows keep the math exact at 2× DMA for the 64-ch stage
+    cin_p = -(-cin // 128) * 128
+    if cin_p != cin:
+        feats = jnp.pad(feats, ((0, 0), (0, cin_p - cin)))
+        w = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, 0)))
+        cin = cin_p
+    starts16, lrows, oob = window_starts(rows, cap, blk, w_size, ngrp)
     feats_z = jnp.concatenate(
         [feats, jnp.zeros((max(w_size - cap, 0) + 1, cin), feats.dtype)])
     kern = functools.partial(
-        _wg_conv_kernel, w_size=w_size, blk=blk, cin=cin, cout=cout, k3=k3)
+        _wg_conv_kernel, w_size=w_size, blk=blk, cin=cin, cout=cout, k3=k3,
+        ngrp=ngrp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),               # feats (HBM)
+            # explicit HBM: under ANY the compiler promotes feats to VMEM,
+            # where a 64-lane slice trips the 128-lane tiling rule; HBM
+            # sources DMA arbitrary (16-row-aligned) windows fine
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((None, k3, blk), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, 3), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            # whole [nblk, ngrp] table in SMEM — per-block slices violate
+            # Mosaic's block-shape divisibility rule
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),           # w
         ],
         out_specs=pl.BlockSpec((blk, cout), lambda i: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((3, w_size, cin), feats.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((ngrp, 2, w_size, cin), feats.dtype),
+            pltpu.SemaphoreType.DMA((ngrp, 2)),
         ],
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cap, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
         interpret=interpret,
-    )(feats_z, lrows, starts, w.astype(jnp.bfloat16))
+    )(feats_z, lrows, starts16.reshape(-1), w.astype(jnp.bfloat16))
+    if resid > 0:
+        # Exact residual repair for out-of-window hits, at BLOCK-GROUP
+        # granularity: only a handful of (tap-group, block) pairs straddle
+        # z-plane/sample boundaries (~0.3% on the bench scene's worst
+        # stage), so compact THOSE (nonzero over ngrp·nblk ≈ 4k elements —
+        # entry-level nonzero over the 3M-entry mask lowers to a full sort,
+        # measured +10 ms) and recompute each compacted group's 3 taps ×
+        # blk outputs with the kernel's bf16-product / f32-accumulate
+        # arithmetic, masked to the missed entries, in one batched matmul.
+        tpg = k3 // ngrp
+        oobg = oob.reshape(ngrp, tpg, nblk, blk)
+        grp_any = oobg.any(axis=(1, 3))                   # [ngrp, nblk]
+        (gi,) = jnp.nonzero(grp_any.reshape(-1), size=resid, fill_value=-1)
+        ok = (gi >= 0).astype(jnp.float32)
+        gsafe = jnp.maximum(gi, 0)
+        g_r, b_r = gsafe // nblk, gsafe % nblk            # [R] each
+        rows_g = rows.reshape(ngrp, tpg, nblk, blk)[g_r, :, b_r]  # [R,t,blk]
+        m = oobg[g_r, :, b_r]                             # [R, t, blk]
+        src = jnp.where(m, rows_g, cap)                   # non-oob → 0-row
+        f_r = feats_z[src].astype(jnp.bfloat16)           # [R, t, blk, Cin]
+        taps = g_r[:, None] * tpg + jnp.arange(tpg)[None, :]
+        w_r = w[taps].astype(jnp.bfloat16)                # [R, t, Cin, Cout]
+        contrib = jnp.einsum(
+            "rtjc,rtco->rjo", f_r, w_r,
+            preferred_element_type=jnp.float32) * ok[:, None, None]
+        j_idx = b_r[:, None] * blk + jnp.arange(blk)[None, :]
+        out = out.at[j_idx].add(contrib)
     return out
 
 

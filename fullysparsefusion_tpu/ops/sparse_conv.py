@@ -670,8 +670,14 @@ _subm_conv_core_compact.defvjp(_subm_conv_compact_fwd, _subm_conv_compact_bwd)
 _subm_conv_core_compact2.defvjp(_subm_conv_compact2_fwd, _subm_conv_compact2_bwd)
 
 
-_WINDOW_CONV_W = int(os.environ.get("FSF_WINDOW_CONV", "0") or 0)
+# Window-gather conv (pallas_kernels.window_gather_conv) — DEFAULT ON for
+# TPU gather-path stages. W=192 measured best at bench scale (2026-08-19,
+# tools/microbench_window_conv.py, resid=64): stage-0 3.18 ms vs 3.86 XLA
+# gather, stage-1 2.35 vs 3.05, strided 0→1 2.41 vs 3.44. FSF_WINDOW_CONV=0
+# disables (falls back to the XLA gather conv); other values override W.
+_WINDOW_CONV_W = int(os.environ.get("FSF_WINDOW_CONV", "192") or 0)
 _WINDOW_BLK = 256
+_WINDOW_RESID = int(os.environ.get("FSF_WINDOW_RESID", "64"))
 
 
 def _window_ok(cap: int, k3: int) -> bool:
@@ -680,6 +686,32 @@ def _window_ok(cap: int, k3: int) -> bool:
         and k3 == 27
         and cap % _WINDOW_BLK == 0
         and jax.default_backend() == "tpu"
+    )
+
+
+def _check_window_budget(rows: jax.Array, cap: int, w_size: int) -> None:
+    """Overflow probe for the window conv (same discipline as
+    check_pair_budget): (tap-group, block) pairs with out-of-window hits
+    are repaired exactly by the residual pass up to FSF_WINDOW_RESID such
+    groups; beyond that the extra groups' hits are silently treated as
+    misses. After enabling FSF_WINDOW_CONV run one step with
+    FSF_DEBUG_WINDOW=1 and confirm nothing prints."""
+    if os.environ.get("FSF_DEBUG_WINDOW", "0") in ("", "0"):
+        return
+    from .pallas_kernels import window_starts
+
+    _, _, oob = window_starts(rows, cap, _WINDOW_BLK, w_size)
+    k3, n = oob.shape
+    grp = oob.reshape(9, k3 // 9, n // _WINDOW_BLK, _WINDOW_BLK)
+    n_grp = grp.any(axis=(1, 3)).sum().astype(jnp.int32)
+    jax.lax.cond(
+        n_grp > _WINDOW_RESID,
+        lambda n: jax.debug.print(
+            "WINDOW BUDGET OVERFLOW [cap=" + str(cap) + "]: {n} straddling "
+            "tap-group blocks > FSF_WINDOW_RESID="
+            + str(_WINDOW_RESID) + " (raise it or FSF_WINDOW_CONV)", n=n),
+        lambda n: None,
+        n_grp,
     )
 
 
@@ -693,9 +725,10 @@ def _subm_conv_core_window(feats, w, valid, rows, compute_dtype_name: str,
     from .pallas_kernels import window_gather_conv
 
     cdtype = jnp.dtype(compute_dtype_name)
+    _check_window_budget(rows, feats.shape[0], w_size)
     out = window_gather_conv(
         feats.astype(cdtype), rows, w.astype(cdtype),
-        w_size=w_size, blk=_WINDOW_BLK)
+        w_size=w_size, blk=_WINDOW_BLK, resid=_WINDOW_RESID)
     return out * valid[:, None].astype(out.dtype)
 
 
@@ -718,9 +751,10 @@ def _subm_conv_window_bwd(compute_dtype_name, w_size, res, g):
     cdtype = jnp.dtype(compute_dtype_name)
     g = g * valid[:, None].astype(g.dtype)
     wT = w.transpose(0, 2, 1).astype(cdtype)
+    _check_window_budget(jnp.flip(rows, axis=0), g.shape[0], w_size)
     d_feats = window_gather_conv(
         g.astype(cdtype), jnp.flip(rows, axis=0), wT,
-        w_size=w_size, blk=_WINDOW_BLK).astype(feats.dtype)
+        w_size=w_size, blk=_WINDOW_BLK, resid=_WINDOW_RESID).astype(feats.dtype)
     f16 = _append_zero_row(feats).astype(cdtype)
     d_w = _dw_per_tap(f16, rows, g, cdtype, w.dtype)
     return d_feats, d_w, None, None
@@ -1183,8 +1217,16 @@ def _pair_conv_core(static, feats, w, out_valid, rows_fwd,
     """
     *_, cdtype_name, _bwd_mode = static
     cdtype = jnp.dtype(cdtype_name)
-    f16 = _append_zero_row(feats).astype(cdtype)
-    out = _gather_conv(f16, rows_fwd, w.astype(cdtype))
+    if _window_ok(rows_fwd.shape[1], rows_fwd.shape[0]):
+        from .pallas_kernels import window_gather_conv
+
+        _check_window_budget(rows_fwd, feats.shape[0], _WINDOW_CONV_W)
+        out = window_gather_conv(
+            feats.astype(cdtype), rows_fwd, w.astype(cdtype),
+            w_size=_WINDOW_CONV_W, blk=_WINDOW_BLK, resid=_WINDOW_RESID)
+    else:
+        f16 = _append_zero_row(feats).astype(cdtype)
+        out = _gather_conv(f16, rows_fwd, w.astype(cdtype))
     return out * out_valid[:, None].astype(out.dtype)
 
 
@@ -1211,7 +1253,15 @@ def _pair_conv_bwd(static, res, g):
         out_dims, batch_size, kernel_size, stride, padding, bwd_mode,
     )
     wT = w.transpose(0, 2, 1).astype(cdtype)
-    d_feats = _gather_conv(g16, rows_bwd, wT).astype(feats.dtype)
+    if _window_ok(rows_bwd.shape[1], rows_bwd.shape[0]):
+        from .pallas_kernels import window_gather_conv
+
+        _check_window_budget(rows_bwd, g.shape[0], _WINDOW_CONV_W)
+        d_feats = window_gather_conv(
+            g.astype(cdtype), rows_bwd, wT,
+            w_size=_WINDOW_CONV_W, blk=_WINDOW_BLK, resid=_WINDOW_RESID).astype(feats.dtype)
+    else:
+        d_feats = _gather_conv(g16, rows_bwd, wT).astype(feats.dtype)
     d_feats = d_feats * in_valid[:, None].astype(d_feats.dtype)
     f16 = _append_zero_row(feats).astype(cdtype)
     d_w = _dw_per_tap(f16, rows_fwd, g, cdtype, w.dtype)

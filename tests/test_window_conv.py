@@ -45,25 +45,39 @@ def test_window_gather_conv_matches_gather(seed):
                                rtol=0, atol=0)
 
 
-def test_window_starts_overflow_probe():
+def test_window_starts_overflow_probe_and_residual_repair():
     rows, feats, w = _mk(2, band=40)
-    # wide-enough windows: zero dropped hits
-    _, _, oob = window_starts(rows, rows.shape[1], 128, 256)
-    assert int(oob) == 0
-    # pathologically narrow windows: probe counts the dropped hits and the
-    # kernel treats them as misses (graceful capacity semantics)
-    starts, lrows, oob2 = window_starts(rows, rows.shape[1], 128, 32)
-    assert int(oob2) > 0
+    cap = rows.shape[1]
+    # wide-enough windows: zero out-of-window hits
+    _, _, oob = window_starts(rows, cap, 128, 256)
+    assert int(oob.sum()) == 0
+    # pathologically narrow windows: the probe counts out-of-window hits...
+    starts, lrows, oob2 = window_starts(rows, cap, 128, 32)
+    n_oob = int(oob2.sum())
+    assert n_oob > 0
+    # ...the residual pass repairs them exactly when resid covers every
+    # straddling (tap-group, block) pair (ngrp * nblk = 36 bounds it)
     got = window_gather_conv(feats, rows, w, w_size=32, blk=128,
-                             interpret=True)
+                             resid=36, interpret=True)
+    full = _oracle(feats, rows, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=1e-5, atol=1e-4)
+    # ...and with resid=0 the dropped hits act as misses (capacity
+    # semantics), matching the effective-rows oracle
+    got0 = window_gather_conv(feats, rows, w, w_size=32, blk=128,
+                              resid=0, interpret=True)
     fz = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]), feats.dtype)])
     ref = jnp.zeros((feats.shape[0], w.shape[-1]), jnp.float32)
     l32 = lrows.transpose(1, 0, 2).reshape(27, -1)
-    s32 = jnp.repeat(starts.T, 128, axis=1)      # [3, cap]
+    # starts: [nblk, ngrp, 2] /16 — local ∈ [0, W) low window, [W, 2W) high
+    s_lo = jnp.repeat(starts[:, :, 0].T * 16, 128, axis=1)   # [9, cap]
+    s_hi = jnp.repeat(starts[:, :, 1].T * 16, 128, axis=1)
     for k in range(27):
-        eff = jnp.where(l32[k] >= 0, l32[k] + s32[k // 9], rows.shape[1])
+        l = l32[k]
+        base = jnp.where(l < 32, s_lo[k // 3] + l, s_hi[k // 3] + (l - 32))
+        eff = jnp.where(l >= 0, base, cap)
         ref = ref + jnp.dot(fz[eff], w[k], preferred_element_type=jnp.float32)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(ref), atol=0)
 
 
 def test_window_gather_conv_all_miss_block():

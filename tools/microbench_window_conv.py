@@ -1,8 +1,11 @@
 """A/B the Pallas window-gather conv vs the XLA gather conv at real bench
 shapes (stage-0 and stage-1 active sets of the bench scene).
 
-Also reports the window-overflow probe (real hits outside the per-block dz
-window) at each W — size W so overflow is 0.
+Sweeps the window size W: smaller W cuts the one-hot MXU cost linearly,
+while the group-level residual pass absorbs the extra straddling
+(tap-group, block) pairs — the probe prints both the out-of-window hit
+count and the straddling-group count (the actual capacity condition,
+vs FSF_WINDOW_RESID) at each W.
 
     python tools/microbench_window_conv.py --iters 20
 """
@@ -21,8 +24,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--w", type=int, default=768)
+    ap.add_argument("--w", type=int, nargs="*", default=[128, 192, 256, 384])
     ap.add_argument("--blk", type=int, default=256)
+    ap.add_argument("--resid", type=int, default=512)
     args = ap.parse_args()
 
     import jax
@@ -63,6 +67,9 @@ def main():
     pad1 = tuple(sgc.unet_strided_paddings[0])
     oc, ob, ov, od = jax.jit(lambda st: downsample_coords(
         st, (3, 3, 3), (2, 2, 2), pad1, s1_cap))(st0)
+    # static dims: a traced dims leaf breaks build_subm_rulebook's
+    # python-level lookup-tier choice (_use_triplets)
+    od = tuple(int(x) for x in np.asarray(od))
     st1 = mk_st(s1_cap, oc, ob, ov, od, 128)
 
     rng = jax.random.key(0)
@@ -76,8 +83,25 @@ def main():
         for _ in range(args.iters):
             r = fn(*a)
         np.asarray(jax.tree_util.tree_leaves(r)[0]).reshape(-1)[:1]
-        print(f"{name:26s} {(time.time()-t0)/args.iters*1000:7.2f} ms  "
+        print(f"{name:30s} {(time.time()-t0)/args.iters*1000:7.2f} ms  "
               f"(compile {c:.0f}s)", flush=True)
+
+    def probe(label, rows, cap):
+        nhits = int(np.asarray(jax.jit(lambda r: (r != cap).sum())(rows)))
+        for wprobe in args.w:
+            oob = jax.jit(lambda r, w=wprobe: window_starts(
+                r, cap, args.blk, w)[2])(rows)
+            o = np.asarray(oob)
+            grp = o.reshape(9, 3, -1, args.blk).any(axis=(1, 3)).sum()
+            print(f"{label}: W={wprobe}: {int(o.sum())} / {nhits} hits "
+                  f"out-of-window in {int(grp)} straddling groups",
+                  flush=True)
+
+    def sweep(label, fn_xla, fn_win, *a):
+        timeit(f"{label} xla_gather", jax.jit(fn_xla), *a)
+        for w_size in args.w:
+            timeit(f"{label} window W={w_size}",
+                   jax.jit(lambda *b, w_size=w_size: fn_win(w_size, *b)), *a)
 
     for label, st, cin, cout in (("stage0 64->64", st0, 64, 64),
                                  ("stage1 128->128", st1, 128, 128)):
@@ -87,22 +111,33 @@ def main():
         w = jax.random.normal(rng, (27, cin, cout), jnp.bfloat16) * 0.05
         valid = st.valid
 
-        # overflow probe at this W
-        _, _, oob = jax.jit(lambda r: window_starts(
-            r, st.capacity, args.blk, args.w))(rows)
-        nhits = int(np.asarray(jax.jit(
-            lambda r: (r != st.capacity).sum())(rows)))
-        print(f"{label}: window overflow {int(np.asarray(oob))} / "
-              f"{nhits} hits at W={args.w}", flush=True)
-
-        timeit(f"{label} xla_gather", jax.jit(
-            lambda f, w_, v, r: _subm_conv_core(
-                f, w_, v, r, "bfloat16", None).sum()),
-            feats, w, valid, rows)
-        timeit(f"{label} window_pallas", jax.jit(
-            lambda f, r, w_: window_gather_conv(
-                f, r, w_, w_size=args.w, blk=args.blk).sum()),
+        probe(label, rows, st.capacity)
+        sweep(
+            label,
+            lambda f, r, w_: _subm_conv_core(
+                f, w_, valid, r, "bfloat16", None).sum(),
+            lambda w_size, f, r, w_: window_gather_conv(
+                f, r, w_, w_size=w_size, blk=args.blk,
+                resid=args.resid).sum(),
             feats, rows, w)
+
+    # strided pair conv stage0 -> stage1 ('mul' rows into the input set)
+    from fullysparsefusion_tpu.ops.sparse_conv import (
+        _pair_query_rows, _gather_conv, _append_zero_row,
+    )
+
+    rows_s = jax.jit(lambda: _pair_query_rows(
+        st1.coords, st1.batch, st1.valid, st0.coords, st0.batch, st0.valid,
+        st0.dims, 1, (3, 3, 3), (2, 2, 2), pad1, "mul"))()
+    feats0 = jax.random.normal(rng, (cap0, 64), jnp.bfloat16)
+    ws = jax.random.normal(rng, (27, 64, 128), jnp.bfloat16) * 0.05
+    probe("strided 64->128", rows_s, cap0)
+    sweep(
+        "strided 64->128",
+        lambda f, r, w_: _gather_conv(_append_zero_row(f), r, w_).sum(),
+        lambda w_size, f, r, w_: window_gather_conv(
+            f, r, w_, w_size=w_size, blk=args.blk, resid=args.resid).sum(),
+        feats0, rows_s, ws)
 
 
 if __name__ == "__main__":
