@@ -79,16 +79,6 @@ def _enable_compile_cache():
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
-def _parse_compact_rate(s):
-    """None/"0" → off; "0.25" → scalar; "0.2,0.35" → per-stage tuple."""
-    if not s:
-        return None
-    vals = [float(x) for x in s.split(",")]
-    if len(vals) == 1:
-        return vals[0] if vals[0] > 0 else None
-    return tuple(vals) if any(v > 0 for v in vals) else None
-
-
 def build_bench_model():
     import jax
     import jax.numpy as jnp
@@ -115,13 +105,6 @@ def build_bench_model():
             c * batch for c in (57344, 40960, 24576, 8192, 2560)),
         unet_dense_min_occupancy=float(
             os.environ.get("FSF_BENCH_DENSE_OCC", 0.15)),
-        # rate ≤ 0 (incl. "0") means OFF, same as unset; "0.2,0.35" gives
-        # per-stage budgets (stage-0 hit rate ~14.5 %, stage-1 ~25 %)
-        unet_compact_pair_rate=_parse_compact_rate(
-            os.environ.get("FSF_BENCH_COMPACT_RATE")),
-        # stages 0-1 are the gather-path stages at bench occupancies
-        # (stage 2+ take the dense MXU path — compact would be unused)
-        unet_compact_stages=(0, 1),
     )
     cfg = FSFConfig(fsd=FSDConfig(caps=caps, segmentor=seg))
 

@@ -14,7 +14,7 @@ shapes).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple
 
 NUSC_CLASS_NAMES = (
     "car", "truck", "trailer", "bus", "construction_vehicle",
@@ -88,12 +88,6 @@ class VoteSegmentorConfig:
     # occupancy (capacity / grid cells) above which a stage's convs use the
     # dense scatter → MXU conv → gather-back path instead of tap gathers
     unet_dense_min_occupancy: float = 0.15
-    # when set, UNet stages in unet_compact_stages run their submanifold
-    # convs through a pair-compacted rulebook budgeted at
-    # rate·K³·capacity hit pairs (models/sparse_unet.SparseUNet); a scalar
-    # applies to every compact stage, a tuple gives per-stage rates
-    unet_compact_pair_rate: Optional[Union[float, Tuple[float, ...]]] = None
-    unet_compact_stages: Tuple[int, ...] = (0,)
     head_hidden_dims: Tuple[int, ...] = (128, 128)
     # losses
     seg_loss_weight: float = 10.0

@@ -74,8 +74,6 @@ class SegmentorCore(nn.Module):
             stage_capacity_divisors=c.unet_capacity_divisors,
             stage_capacities=c.unet_stage_capacities,
             dense_min_occupancy=c.unet_dense_min_occupancy,
-            compact_pair_rate=c.unet_compact_pair_rate,
-            compact_stages=c.unet_compact_stages,
         )(st, train)  # [voxels, out_ch]
 
         # voxel2point neck: gather voxel feature + local offset from voxel center

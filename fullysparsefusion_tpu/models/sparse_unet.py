@@ -14,7 +14,7 @@ dataset (SURVEY.md §7 "static-capacity bucketing").
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,11 +23,7 @@ from flax import linen as nn
 from ..ops.sparse_conv import (
     SparseTensor,
     Rulebook,
-    CompactRulebook,
-    build_compact_rulebook,
     center_tap,
-    check_pair_budget,
-    mirror_rulebook,
     build_subm_rulebook,
     subm_conv_apply,
     subm_conv_dense,
@@ -49,9 +45,7 @@ class _SubMBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, st: SparseTensor, rb: Rulebook, train: bool,
-        crb: Optional[CompactRulebook] = None,
-        crb_bwd: Optional[CompactRulebook] = None,
+        self, st: SparseTensor, rb: Rulebook, train: bool
     ) -> SparseTensor:
         k3 = self.kernel_size[0] * self.kernel_size[1] * self.kernel_size[2]
         cin = st.feats.shape[-1]
@@ -65,7 +59,7 @@ class _SubMBlock(nn.Module):
             y = subm_conv_dense(st, w, None, self.kernel_size)
         else:
             y = subm_conv_apply(
-                st.feats, st.valid, rb, w, None, crb=crb, crb_bwd=crb_bwd,
+                st.feats, st.valid, rb, w, None,
                 identity_tap=center_tap(self.kernel_size))
         y = MaskedBatchNorm()(y, st.valid, train)
         y = nn.relu(y) * st.valid[:, None].astype(y.dtype)
@@ -80,7 +74,6 @@ class _DownBlock(nn.Module):
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (2, 2, 2)
     dense_min_occupancy: float = 0.15
-    compact_pair_capacity: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -102,7 +95,6 @@ class _DownBlock(nn.Module):
             out = sparse_conv3d(
                 st, w, None, self.kernel_size, self.stride, self.padding,
                 self.out_capacity, compute_dtype=jnp.bfloat16, src_t3=src_t3,
-                compact_pair_capacity=self.compact_pair_capacity,
             )
         y = MaskedBatchNorm()(out.feats, out.valid, train)
         y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
@@ -114,7 +106,6 @@ class _UpBlock(nn.Module):
     padding: Tuple[int, int, int]
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (2, 2, 2)
-    compact_pair_capacity: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -141,7 +132,6 @@ class _UpBlock(nn.Module):
             self.padding,
             compute_dtype=jnp.bfloat16,
             src_t3=src_t3,
-            compact_pair_capacity=self.compact_pair_capacity,
         )
         y = MaskedBatchNorm()(out.feats, out.valid, train)
         y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
@@ -173,66 +163,6 @@ class SparseUNet(nn.Module):
     stage_capacities: Optional[Sequence[int]] = None
     # active/total-cell occupancy above which convs take the dense MXU path
     dense_min_occupancy: float = 0.15
-    # when set, stages in compact_stages route their submanifold convs
-    # through a pair-compacted rulebook (ops/sparse_conv.CompactRulebook)
-    # sized to rate·K³·capacity hit pairs — a traffic win when the stage's
-    # tap hit rate is well below the rate (stage 0 measures ~14.5 %);
-    # pairs beyond the budget are dropped out-major from the tail. Either
-    # one rate for every compact stage or a per-stage sequence (entries ≤ 0
-    # disable that stage; deeper stages have higher hit rates, so per-stage
-    # budgets avoid stage-0 waste vs stage-1 overflow).
-    compact_pair_rate: Optional[Union[float, Sequence[float]]] = None
-    compact_stages: Sequence[int] = (0,)
-
-    def _stage_rate(self, i: int) -> Optional[float]:
-        r = self.compact_pair_rate
-        if r is None or i not in self.compact_stages:
-            return None
-        if not isinstance(r, (int, float)):
-            assert len(r) > max(self.compact_stages), (
-                f"per-stage compact_pair_rate has {len(r)} entries but "
-                f"compact_stages={tuple(self.compact_stages)} — a short "
-                "tuple would silently disable the uncovered stages"
-            )
-            r = r[i]
-        return float(r) if r > 0.0 else None
-
-    def _compact(
-        self, i: int, rb: Rulebook, train: bool
-    ) -> Tuple[Optional[CompactRulebook], Optional[CompactRulebook]]:
-        """(forward, backward) compact pair lists for stage ``i`` (both None
-        when compaction is off for the stage; backward only under train —
-        one extra scatter per stage, amortized over the stage's convs)."""
-        rate = self._stage_rate(i)
-        if rate is None:
-            return None, None
-        k3, cap = rb.rows.shape
-        pair_cap = self._pair_budget(rate, k3, cap)
-        # center pairs are excluded: _SubMBlock handles the identity tap as
-        # a direct matmul (~25 % of stage-0 pairs never enter the list, so
-        # the rate buys correspondingly more headroom)
-        ct = center_tap((3, 3, 3))
-        crb = build_compact_rulebook(rb, pair_cap, skip_tap=ct)
-        check_pair_budget(crb, f"unet stage {i} subm")
-        crb_b = None
-        if train:
-            crb_b = build_compact_rulebook(
-                mirror_rulebook(rb), pair_cap, skip_tap=ct)
-            check_pair_budget(crb_b, f"unet stage {i} subm bwd")
-        return crb, crb_b
-
-    @staticmethod
-    def _pair_budget(rate: float, k3: int, cap: int) -> int:
-        return -(-int(k3 * cap * rate) // 256) * 256
-
-    def _pair_compact_capacity(self, i: int, cap: int) -> Optional[int]:
-        """Pair budget for the strided/inverse conv whose OUTPUT/TARGET set
-        is stage ``i`` with capacity ``cap`` (None = full-capacity form)."""
-        rate = self._stage_rate(i)
-        if rate is None:
-            return None
-        return self._pair_budget(rate, 27, cap)
-
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False) -> jax.Array:
         cap0 = st.capacity
@@ -242,11 +172,10 @@ class SparseUNet(nn.Module):
         # the up-conv writing from it (ops/sparse_conv._x_triplet_table)
         t3s = [stage_table(st)]
         rulebooks = [build_subm_rulebook(st, t3=t3s[0])]
-        crbs = [self._compact(0, rulebooks[0], train)]
         st = _SubMBlock(
             self.base_channels, dense_min_occupancy=self.dense_min_occupancy,
             name="conv_input",
-        )(st, rulebooks[0], train, crb=crbs[0][0], crb_bwd=crbs[0][1])
+        )(st, rulebooks[0], train)
 
         skips = []
         n_stages = len(self.encoder_channels)
@@ -262,15 +191,12 @@ class SparseUNet(nn.Module):
                         padding=tuple(self.encoder_strided_paddings[i - 1]),
                         out_capacity=out_cap,
                         dense_min_occupancy=self.dense_min_occupancy,
-                        compact_pair_capacity=self._pair_compact_capacity(
-                            i, out_cap),
                         name=f"enc{i}_down",
                     )(st, train, src_t3=t3s[i - 1])
                     t3s.append(stage_table(st))
                     rulebooks.append(build_subm_rulebook(st, t3=t3s[i]))
-                    crbs.append(self._compact(i, rulebooks[i], train))
                 else:
-                    st = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"enc{i}_subm{j}")(st, rulebooks[i], train, crb=crbs[i][0], crb_bwd=crbs[i][1])
+                    st = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"enc{i}_subm{j}")(st, rulebooks[i], train)
             skips.append(st)
 
         x = skips[-1]
@@ -282,17 +208,15 @@ class SparseUNet(nn.Module):
             merged = x.replace(feats=jnp.concatenate([x.feats, skip.feats], axis=1))
             y = merged
             for j, c in enumerate(widths[:-1]):
-                y = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"dec{d}_subm{j}")(y, rulebooks[enc_stage], train, crb=crbs[enc_stage][0], crb_bwd=crbs[enc_stage][1])
+                y = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"dec{d}_subm{j}")(y, rulebooks[enc_stage], train)
             x = _UpBlock(
                 widths[-1],
                 padding=tuple(self.encoder_strided_paddings[enc_stage - 1]),
-                compact_pair_capacity=self._pair_compact_capacity(
-                    enc_stage - 1, target.capacity),
                 name=f"dec{d}_up",
             )(y, target, train, src_t3=t3s[enc_stage])
 
         # final merge with stage-0 skip and projection to output_channels
         merged = x.replace(feats=jnp.concatenate([x.feats, skips[0].feats], axis=1))
-        out = _SubMBlock(self.output_channels, dense_min_occupancy=self.dense_min_occupancy, name="conv_out")(merged, rulebooks[0], train, crb=crbs[0][0], crb_bwd=crbs[0][1])
+        out = _SubMBlock(self.output_channels, dense_min_occupancy=self.dense_min_occupancy, name="conv_out")(merged, rulebooks[0], train)
         # heads and the scatter neck expect f32
         return out.feats.astype(jnp.float32)

@@ -236,242 +236,6 @@ class Rulebook:
     hits: jax.Array  # [K³, cap] bool
 
 
-@struct.dataclass
-class CompactRulebook:
-    """Pair-compacted rulebook: only the HIT (output, tap) pairs, out-major.
-
-    At bench scale only ~15 % of a stage-0 rulebook's 27×cap tap slots hit
-    an active neighbor, yet the full-capacity conv fetches a row per slot
-    (misses read the zero row at full gather cost — the gathers are
-    row-rate/bandwidth bound). The compact form gathers only hit pairs and
-    reconstructs the per-output sums scatter-free (cumsum + boundary diff;
-    see subm_conv_apply). Built once per stage alongside the Rulebook.
-
-    ysrc[p]  = k·(cap+1) + src_row of the p-th hit pair in (output, tap)
-               order — a flat index into the per-tap transformed features;
-               rows past the true pair count read garbage that never
-               reaches an output (boundary diffs stop at starts[cap]).
-    starts[i] = first pair index of output i (starts[cap] = total pairs,
-               clipped to the static pair capacity; overflow pairs are
-               dropped from the tail, standard capacity discipline).
-    n_dropped = traced scalar count of pairs beyond the capacity. NOTE:
-               under overflow the custom VJPs still differentiate the
-               UNTRUNCATED conv (the backward's full/mirrored pair maps
-               don't know which tail pairs the forward dropped), so
-               gradients are approximate by ~the dropped fraction — size
-               pair budgets with margin over the measured hit rate and
-               assert n_dropped == 0 outside jit where exactness matters.
-    """
-
-    ysrc: jax.Array      # [pair_cap] int32
-    starts: jax.Array    # [cap+1] int32
-    n_dropped: jax.Array  # [] int32
-    # static: the tap EXCLUDED from the pair list (a submanifold center
-    # tap, handled as a direct masked matmul by the conv); the conv's
-    # identity_tap must match — ysrc tap indices are compacted past it,
-    # so w must be sliced accordingly (_w_without_tap)
-    skip_tap: Optional[int] = struct.field(pytree_node=False, default=None)
-
-
-def build_compact_rulebook(
-    rb: Rulebook, pair_capacity: int, src_capacity: Optional[int] = None,
-    skip_tap: Optional[int] = None,
-) -> CompactRulebook:
-    """Compact a Rulebook to its hit pairs (one unique-index scatter).
-
-    ``src_capacity`` is the capacity of the set the rows point INTO —
-    defaults to the rulebook's own (submanifold convs); pair convs
-    (strided/inverse) pass the input set's capacity since it differs
-    from the output's.
-
-    ``skip_tap`` drops that tap's pairs from the list entirely (the subm
-    CENTER tap is ~25 % of all pairs at stage-0 occupancies yet is the
-    identity map — the conv adds it back as one direct matmul). The stored
-    ysrc tap indices are re-numbered past the skipped tap, so the conv
-    must feed ``_w_without_tap(w, skip_tap)`` to ``_compact_conv_sum``.
-    """
-    k3, cap = rb.rows.shape
-    src_cap = cap if src_capacity is None else src_capacity
-    # payload packs src into 20 bits and the tap index above — holds for
-    # every shipped capacity (57k stage-0 × batch ≤ 16); widen to uint64
-    # before raising this
-    assert src_cap < (1 << 20) and k3 <= (1 << 11), (k3, src_cap)
-    hits = rb.hits
-    kidx = jnp.arange(k3, dtype=jnp.uint32)
-    if skip_tap is not None:
-        assert 0 <= skip_tap < k3, (skip_tap, k3)
-        hits = hits & (jnp.arange(k3) != skip_tap)[:, None]
-        kidx = kidx - (kidx > skip_tap)          # re-number past the gap
-    hits_t = hits.T.astype(jnp.int32)                       # [cap, K³]
-    rank = jnp.cumsum(hits_t, axis=1) - 1
-    cnt = hits_t.sum(axis=1)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)])
-    dest = starts[:-1, None] + rank                          # [cap, K³]
-    ok = hits.T & (dest < pair_capacity)
-    # invalid pairs go OUT of bounds so mode="drop" discards them (an
-    # in-bounds trash slot would collide, violating unique_indices)
-    dest = jnp.where(ok, dest, pair_capacity + 1)
-    payload = rb.rows.T.astype(jnp.uint32) + (kidx[None, :] << 20)
-    compact = jnp.zeros((pair_capacity + 1,), jnp.uint32).at[dest].set(
-        payload, unique_indices=True, mode="drop")[:pair_capacity]
-    src = (compact & 0xFFFFF).astype(jnp.int32)
-    kk = (compact >> 20).astype(jnp.int32)
-    return CompactRulebook(
-        ysrc=kk * (src_cap + 1) + src,
-        starts=starts.clip(0, pair_capacity),
-        n_dropped=jnp.maximum(starts[-1] - pair_capacity, 0),
-        skip_tap=skip_tap,
-    )
-
-
-def _w_without_tap(w: jax.Array, skip_tap: Optional[int]) -> jax.Array:
-    """Per-tap weights minus the skipped tap (matching a CompactRulebook's
-    re-numbered ysrc tap indices)."""
-    if skip_tap is None:
-        return w
-    return jnp.concatenate([w[:skip_tap], w[skip_tap + 1:]])
-
-
-# opt-in pair-budget overflow probe: the compact forward silently truncates
-# tail pairs past the static budget, so after re-sizing capacities run one
-# step with FSF_DEBUG_PAIR_BUDGET=1 to confirm n_dropped == 0 everywhere
-_PAIR_BUDGET_DEBUG = os.environ.get("FSF_DEBUG_PAIR_BUDGET", "0") not in ("", "0")
-
-
-def check_pair_budget(crb: CompactRulebook, label: str) -> None:
-    """Print (under jit, via debug callback) when ``crb`` dropped pairs.
-
-    No-op unless FSF_DEBUG_PAIR_BUDGET=1 — the cond traces to nothing when
-    the flag is off, so the production path pays zero cost.
-    """
-    if not _PAIR_BUDGET_DEBUG:
-        return
-    jax.lax.cond(
-        crb.n_dropped > 0,
-        lambda n: jax.debug.print(
-            "PAIR BUDGET OVERFLOW [" + label + "]: {n} pairs dropped "
-            "(outputs truncated — raise the compact rate)", n=n),
-        lambda n: None,
-        crb.n_dropped,
-    )
-
-
-def _compact_conv_sum(xz, w_taps, valid, ysrc, starts, cdtype):
-    """Σ over hit pairs of (xz @ w_taps[k_p])[src_p] per output row.
-
-    Per-tap transform on the MXU first (trivial FLOPs), then ONE gather of
-    only the hit pairs, then a scatter-free segment sum: exclusive cumsum
-    over the out-major pair products and a boundary-diff gather. The f32
-    prefix sums make the diff exact to ~|Σ_all|·2⁻²⁴ — products are bf16
-    anyway, so the associativity change is below the activation noise.
-    ``xz`` carries the appended zero row ([cap+1, Cin]).
-    """
-    k3, capp = w_taps.shape[0], xz.shape[0]
-    y = jnp.einsum(
-        "nc,kcd->knd", xz, w_taps.astype(cdtype),
-        preferred_element_type=cdtype,
-    )                                                        # [K³, cap+1, Cout]
-    cout = y.shape[-1]
-    # no appended row: every ysrc is in bounds (hit pairs index real rows;
-    # zero-filled slots past the true pair count read row 0, which the
-    # boundary diffs provably never propagate to an output)
-    yflat = y.reshape(k3 * capp, cout)
-    prod = yflat[ysrc].astype(jnp.float32)                   # [pair_cap, Cout]
-    p = jnp.concatenate(
-        [jnp.zeros((1, cout), jnp.float32), jnp.cumsum(prod, axis=0)])
-    pg = p[starts]                                           # [cap+1, Cout]
-    out = pg[1:] - pg[:-1]
-    return out * valid[:, None].astype(out.dtype)
-
-
-def _compact_with_identity(feats, w, valid, ysrc, starts, cdtype,
-                           identity_tap):
-    """Compact pair sum + (when the pair list skipped the center tap) the
-    identity term as ONE direct masked matmul — exactly the tap the pair
-    list dropped, so the total equals the full conv."""
-    fz = _append_zero_row(feats).astype(cdtype)
-    out = _compact_conv_sum(
-        fz, _w_without_tap(w, identity_tap), valid, ysrc, starts, cdtype)
-    if identity_tap is not None:
-        idt = jnp.dot(fz[:-1], w[identity_tap].astype(cdtype),
-                      preferred_element_type=jnp.float32)
-        out = out + idt * valid[:, None].astype(idt.dtype)
-    return out
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _subm_conv_core_compact(feats, w, valid, rows, ysrc, starts,
-                            compute_dtype_name: str,
-                            identity_tap: Optional[int] = None):
-    """out[i] = Σ_{hit pairs p of i} (feats @ w[k_p])[src_p] (see
-    _compact_conv_sum); backward runs the full-capacity mirrored gathers."""
-    cdtype = jnp.dtype(compute_dtype_name)
-    return _compact_with_identity(
-        feats, w, valid, ysrc, starts, cdtype, identity_tap)
-
-
-def _subm_conv_compact_fwd(feats, w, valid, rows, ysrc, starts,
-                           compute_dtype_name, identity_tap):
-    out = _subm_conv_core_compact(
-        feats, w, valid, rows, ysrc, starts, compute_dtype_name,
-        identity_tap)
-    return out, (feats, w, valid, rows)
-
-
-def _subm_conv_compact_bwd(compute_dtype_name, identity_tap, res, g):
-    # identical math to the full-capacity backward (it reads only the
-    # Rulebook rows, which the compact form carries alongside)
-    d_feats, d_w, _, _ = _subm_conv_bwd(compute_dtype_name, identity_tap, res, g)
-    return d_feats, d_w, None, None, None, None
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def _subm_conv_core_compact2(feats, w, valid, rows, ysrc, starts,
-                             ysrc_b, starts_b, compute_dtype_name: str,
-                             identity_tap: Optional[int] = None):
-    """Compact forward AND compact d_feats backward.
-
-    ``ysrc_b``/``starts_b`` are the pair list of the MIRRORED rulebook
-    (Rulebook(rows=flip(rows,0), hits=flip(hits,0))): the submanifold tap
-    set is symmetric (o_{K³−1−k} = −o_k), so d_feats is itself a compact
-    gather conv through those pairs with per-tap weights w[k]ᵀ — the same
-    pairing the full-capacity backward uses (_subm_conv_bwd). d_w keeps
-    the full-capacity row gathers (its per-tap matmul form has no cheap
-    pair equivalent). ``identity_tap`` (static) must equal the skip_tap
-    BOTH pair lists were built with — the mirror flip keeps the center
-    tap in place, so one value serves both.
-    """
-    cdtype = jnp.dtype(compute_dtype_name)
-    return _compact_with_identity(
-        feats, w, valid, ysrc, starts, cdtype, identity_tap)
-
-
-def _subm_conv_compact2_fwd(feats, w, valid, rows, ysrc, starts,
-                            ysrc_b, starts_b, compute_dtype_name,
-                            identity_tap):
-    out = _subm_conv_core_compact2(
-        feats, w, valid, rows, ysrc, starts, ysrc_b, starts_b,
-        compute_dtype_name, identity_tap)
-    return out, (feats, w, valid, rows, ysrc_b, starts_b)
-
-
-def _subm_conv_compact2_bwd(compute_dtype_name, identity_tap, res, g):
-    feats, w, valid, rows, ysrc_b, starts_b = res
-    cdtype = jnp.dtype(compute_dtype_name)
-    k3 = rows.shape[0]
-    g = g * valid[:, None].astype(g.dtype)
-    # mirror tap kb pairs flip(rows,0)[kb] with w[kb]ᵀ (see _subm_conv_bwd);
-    # g is pre-masked so the identity term needs no output mask
-    wT = w.transpose(0, 2, 1)
-    d_feats = _compact_with_identity(
-        g, wT, valid, ysrc_b, starts_b, cdtype, identity_tap
-    ).astype(feats.dtype)
-    f16 = _append_zero_row(feats).astype(cdtype)
-    d_w = _dw_per_tap(f16, rows, g, cdtype, w.dtype, identity_tap)
-    return d_feats, d_w, None, None, None, None, None, None
-
-
 def _table_dtype(capacity: int):
     """uint16 when row+1 values fit — TPU gathers of the [cells, 3] triplet
     table run ~1.8× faster at half the row bytes (measured 6.95 → 3.78 ms
@@ -590,7 +354,7 @@ def _append_zero_row(x):
 
 def _dw_per_tap(f_z, rows, g, cdtype, out_dtype, identity_tap=None):
     """d_w[k] = in[rows[k]]ᵀ @ g — the per-tap weight gradient shared by
-    every conv backward (full and compact; misses hit f_z's zero row).
+    every conv backward (misses hit f_z's zero row).
 
     ``identity_tap`` skips that tap's gather: g is pre-masked by validity
     in every backward, so invalid rows contribute f·0 = 0 either way."""
@@ -666,10 +430,6 @@ def _subm_conv_bwd(compute_dtype_name, identity_tap, res, g):
 
 
 _subm_conv_core.defvjp(_subm_conv_fwd, _subm_conv_bwd)
-_subm_conv_core_compact.defvjp(_subm_conv_compact_fwd, _subm_conv_compact_bwd)
-_subm_conv_core_compact2.defvjp(_subm_conv_compact2_fwd, _subm_conv_compact2_bwd)
-
-
 # Window-gather conv (pallas_kernels.window_gather_conv) — DEFAULT ON for
 # TPU gather-path stages. W=192 measured best at bench scale (2026-08-19,
 # tools/microbench_window_conv.py, resid=64): stage-0 3.18 ms vs 3.86 XLA
@@ -765,7 +525,7 @@ _subm_conv_core_window.defvjp(_subm_conv_window_fwd, _subm_conv_window_bwd)
 
 def mirror_rulebook(rb: Rulebook) -> Rulebook:
     """Rulebook of the mirrored tap set (o_{K³−1−k} = −o_k) — the pair map
-    the backward gathers through; compact it for a compact d_feats."""
+    the backward gathers through."""
     return Rulebook(rows=jnp.flip(rb.rows, axis=0), hits=jnp.flip(rb.hits, axis=0))
 
 
@@ -776,8 +536,6 @@ def subm_conv_apply(
     w: jax.Array,          # [K³, Cin, Cout]
     b: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
-    crb: Optional[CompactRulebook] = None,
-    crb_bwd: Optional[CompactRulebook] = None,
     identity_tap: Optional[int] = None,
 ) -> jax.Array:
     """Apply a submanifold conv through a prebuilt rulebook.
@@ -785,39 +543,18 @@ def subm_conv_apply(
     Gather-matmul-accumulate per kernel tap; bf16 inputs, f32 accumulation.
     Custom VJP keeps the BACKWARD scatter-free too (see _subm_conv_bwd).
     (A tap-concat variant — one [cap, 9·Cin] matmul per 9 taps — measured
-    8.7× SLOWER on v5e: the [cap, t, Cin] → [cap, t·Cin] relayout dominates.)
-    With ``crb`` the forward gathers only the HIT pairs instead of every
-    tap slot (see CompactRulebook) — a win on low-hit-rate stages; add
-    ``crb_bwd`` (the compacted mirror_rulebook) to compact the backward's
-    d_feats the same way.
+    8.7× SLOWER on v5e: the [cap, t, Cin] → [cap, t·Cin] relayout dominates.
+    Pair-compacted hit lists in every form also measured SLOWER — see
+    docs/performance.md "Measured hardware facts"; the machinery was
+    removed after the negative result.)
 
     ``identity_tap``: the center tap of an odd submanifold kernel (13 for
     3³) maps every output row to itself, so it runs as one direct matmul
-    instead of a gather — exact, strictly less data movement (the center
-    is ~25 % of all PAIRS at stage-0 occupancies, so it compounds with
-    ``crb``: pass pair lists built with ``skip_tap=identity_tap``).
+    instead of a gather — exact, strictly less data movement.
     """
-    assert crb is not None or crb_bwd is None, (
-        "crb_bwd without crb: the compact backward rides the compact "
-        "forward — pass both or neither"
-    )
-    for c in (crb, crb_bwd):
-        assert c is None or c.skip_tap == identity_tap, (
-            "compact pair list skip_tap must match identity_tap "
-            f"(got {c.skip_tap} vs {identity_tap}) — a mismatch double- or "
-            "zero-counts the center tap"
-        )
     w, b = _pvary_params(w, b)
     cdn = jnp.dtype(compute_dtype).name
-    if crb is not None and crb_bwd is not None:
-        out = _subm_conv_core_compact2(
-            feats, w, valid, rb.rows, crb.ysrc, crb.starts,
-            crb_bwd.ysrc, crb_bwd.starts, cdn, identity_tap)
-    elif crb is not None:
-        out = _subm_conv_core_compact(
-            feats, w, valid, rb.rows, crb.ysrc, crb.starts, cdn,
-            identity_tap)
-    elif _window_ok(feats.shape[0], rb.rows.shape[0]):
+    if _window_ok(feats.shape[0], rb.rows.shape[0]):
         out = _subm_conv_core_window(
             feats, w, valid, rb.rows, cdn, _WINDOW_CONV_W)
     else:
@@ -1271,45 +1008,6 @@ def _pair_conv_bwd(static, res, g):
 _pair_conv_core.defvjp(_pair_conv_fwd, _pair_conv_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _pair_conv_core_compact(cdtype_name, feats, w, out_valid, in_valid,
-                            rows_fwd, ysrc, starts, ysrc_b, starts_b):
-    """Pair conv (strided/inverse) through compacted hit pairs.
-
-    ``ysrc/starts`` compact the forward pair map (rows into the INPUT
-    set, out-major); ``ysrc_b/starts_b`` compact the backward query
-    (rows into the OUTPUT set, in-major — the same per-tap wᵀ pairing
-    _pair_conv_bwd uses). d_w keeps the full-capacity row gathers.
-    """
-    cdtype = jnp.dtype(cdtype_name)
-    fz = _append_zero_row(feats).astype(cdtype)
-    return _compact_conv_sum(fz, w, out_valid, ysrc, starts, cdtype)
-
-
-def _pair_conv_compact_fwd(cdtype_name, feats, w, out_valid, in_valid,
-                           rows_fwd, ysrc, starts, ysrc_b, starts_b):
-    out = _pair_conv_core_compact(
-        cdtype_name, feats, w, out_valid, in_valid,
-        rows_fwd, ysrc, starts, ysrc_b, starts_b)
-    return out, (feats, w, out_valid, in_valid, rows_fwd, ysrc_b, starts_b)
-
-
-def _pair_conv_compact_bwd(cdtype_name, res, g):
-    feats, w, out_valid, in_valid, rows_fwd, ysrc_b, starts_b = res
-    cdtype = jnp.dtype(cdtype_name)
-    g = g * out_valid[:, None].astype(g.dtype)
-    gz = _append_zero_row(g).astype(cdtype)
-    wT = w.transpose(0, 2, 1)
-    d_feats = _compact_conv_sum(
-        gz, wT, in_valid, ysrc_b, starts_b, cdtype).astype(feats.dtype)
-    f16 = _append_zero_row(feats).astype(cdtype)
-    d_w = _dw_per_tap(f16, rows_fwd, g, cdtype, w.dtype)
-    return d_feats, d_w, None, None, None, None, None, None, None
-
-
-_pair_conv_core_compact.defvjp(_pair_conv_compact_fwd, _pair_conv_compact_bwd)
-
-
 def sparse_conv3d(
     st: SparseTensor,
     w: jax.Array,
@@ -1320,15 +1018,11 @@ def sparse_conv3d(
     out_capacity: int,
     compute_dtype=None,
     src_t3: Optional[jax.Array] = None,
-    compact_pair_capacity: Optional[int] = None,
 ) -> SparseTensor:
     """Regular (strided) sparse conv: generates a new active set.
 
     out[y] = Σ_k in[y·s − p + k] @ w[k]. ``src_t3`` reuses the input set's
     x-triplet table (ops cost, built anyway for the stage's rulebook).
-    ``compact_pair_capacity`` routes the conv (and its d_feats) through
-    compacted hit-pair lists — see CompactRulebook for the semantics and
-    the overflow caveat.
     """
     out_coords, out_batch, out_valid, out_dims = downsample_coords(
         st, kernel_size, stride, padding, out_capacity
@@ -1340,35 +1034,13 @@ def sparse_conv3d(
         tgt_t3=src_t3,
     )
     w, b = _pvary_params(w, b)
-    if compact_pair_capacity is not None:
-        in_cap = st.capacity
-        crb = build_compact_rulebook(
-            Rulebook(rows=rows, hits=rows != in_cap),
-            compact_pair_capacity, src_capacity=in_cap)
-        check_pair_budget(crb, "sparse_conv3d fwd")
-        # the backward pair map is built unconditionally: the primal never
-        # reads it, so XLA DCE removes it from inference jits, and a dummy
-        # would risk silently wrong gradients if someone differentiated
-        rows_b = _pair_query_rows(
-            st.coords, st.batch, st.valid, out_coords, out_batch, out_valid,
-            out_dims, st.batch_size, kernel_size, stride, padding, "div",
-        )
-        crb_b = build_compact_rulebook(
-            Rulebook(rows=rows_b, hits=rows_b != out_capacity),
-            compact_pair_capacity, src_capacity=out_capacity)
-        check_pair_budget(crb_b, "sparse_conv3d bwd")
-        out = _pair_conv_core_compact(
-            cdtype.name, st.feats, w, out_valid, st.valid, rows,
-            crb.ysrc, crb.starts, crb_b.ysrc, crb_b.starts,
-        )
-    else:
-        static = (tuple(kernel_size), tuple(stride), tuple(padding),
-                  tuple(st.dims), tuple(out_dims), st.batch_size,
-                  cdtype.name, "div")
-        out = _pair_conv_core(
-            static, st.feats, w, out_valid, rows,
-            st.coords, st.batch, st.valid, out_coords, out_batch,
-        )
+    static = (tuple(kernel_size), tuple(stride), tuple(padding),
+              tuple(st.dims), tuple(out_dims), st.batch_size,
+              cdtype.name, "div")
+    out = _pair_conv_core(
+        static, st.feats, w, out_valid, rows,
+        st.coords, st.batch, st.valid, out_coords, out_batch,
+    )
     if b is not None:
         out = out + b * out_valid[:, None].astype(out.dtype)
     return SparseTensor(
@@ -1390,15 +1062,12 @@ def sparse_inverse_conv3d(
     padding: Tuple[int, int, int],
     compute_dtype=None,
     src_t3: Optional[jax.Array] = None,
-    compact_pair_capacity: Optional[int] = None,
 ) -> SparseTensor:
     """Inverse conv: upsample ``st`` onto a recorded finer active set.
 
     Inverts a paired strided conv: target t receives from coarse y where
     t = y·s − p + k  ⇔  y = (t + p − k)/s (exact division required).
     ``src_t3`` reuses the coarse set's x-triplet table.
-    ``compact_pair_capacity`` routes the conv (and its d_feats) through
-    compacted hit-pair lists — see CompactRulebook.
     """
     cdtype = jnp.dtype(compute_dtype or st.feats.dtype)
     rows = _pair_query_rows(
@@ -1407,35 +1076,13 @@ def sparse_inverse_conv3d(
         tgt_t3=src_t3,
     )
     w, b = _pvary_params(w, b)
-    if compact_pair_capacity is not None:
-        in_cap = st.capacity
-        tgt_cap = target_coords.shape[0]
-        crb = build_compact_rulebook(
-            Rulebook(rows=rows, hits=rows != in_cap),
-            compact_pair_capacity, src_capacity=in_cap)
-        check_pair_budget(crb, "sparse_inverse_conv3d fwd")
-        # unconditional backward pair map: see sparse_conv3d (DCE'd at eval)
-        rows_b = _pair_query_rows(
-            st.coords, st.batch, st.valid, target_coords, target_batch,
-            target_valid, target_dims, st.batch_size, kernel_size, stride,
-            padding, "mul",
-        )
-        crb_b = build_compact_rulebook(
-            Rulebook(rows=rows_b, hits=rows_b != tgt_cap),
-            compact_pair_capacity, src_capacity=tgt_cap)
-        check_pair_budget(crb_b, "sparse_inverse_conv3d bwd")
-        out = _pair_conv_core_compact(
-            cdtype.name, st.feats, w, target_valid, st.valid, rows,
-            crb.ysrc, crb.starts, crb_b.ysrc, crb_b.starts,
-        )
-    else:
-        static = (tuple(kernel_size), tuple(stride), tuple(padding),
-                  tuple(st.dims), tuple(target_dims), st.batch_size,
-                  cdtype.name, "mul")
-        out = _pair_conv_core(
-            static, st.feats, w, target_valid, rows,
-            st.coords, st.batch, st.valid, target_coords, target_batch,
-        )
+    static = (tuple(kernel_size), tuple(stride), tuple(padding),
+              tuple(st.dims), tuple(target_dims), st.batch_size,
+              cdtype.name, "mul")
+    out = _pair_conv_core(
+        static, st.feats, w, target_valid, rows,
+        st.coords, st.batch, st.valid, target_coords, target_batch,
+    )
     if b is not None:
         out = out + b * target_valid[:, None].astype(out.dtype)
     return SparseTensor(

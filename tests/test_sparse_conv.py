@@ -88,86 +88,13 @@ def test_subm_conv_matches_dense(seed):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-def test_compact_rulebook_conv_matches_full(seed):
-    """Pair-compacted forward (cumsum + boundary diff) == full-capacity conv,
-    including gradients through the shared custom VJP and overflow-drop
-    semantics when pair capacity truncates the tail."""
-    import jax
-    from fullysparsefusion_tpu.ops.sparse_conv import (
-        build_subm_rulebook,
-        build_compact_rulebook,
-        subm_conv_apply,
-    )
-
-    rng = np.random.default_rng(seed + 20)
-    cin, cout = 4, 6
-    st, _, _, _, n = _make_sparse(seed, cin)
-    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
-    rb = build_subm_rulebook(st)
-    n_pairs = int(np.asarray(rb.hits).sum())
-
-    def run(crb):
-        return subm_conv_apply(
-            st.feats, st.valid, rb, w, compute_dtype=jnp.float32, crb=crb)
-
-    full = run(None)
-    for pair_cap in (n_pairs, n_pairs + 33):
-        crb = build_compact_rulebook(rb, pair_cap)
-        np.testing.assert_allclose(
-            np.asarray(run(crb)), np.asarray(full), rtol=1e-5, atol=1e-5)
-
-    # overflow: pairs are dropped out-major from the tail, so outputs before
-    # the first truncated one still match exactly
-    short = n_pairs - 10
-    crb = build_compact_rulebook(rb, short)
-    n_ok = int(np.searchsorted(np.cumsum(np.asarray(rb.hits).T.sum(1)), short))
-    np.testing.assert_allclose(
-        np.asarray(run(crb))[:n_ok], np.asarray(full)[:n_ok],
-        rtol=1e-5, atol=1e-5)
-
-    crb = build_compact_rulebook(rb, n_pairs)
-    g_full = jax.grad(lambda f: jnp.sum(subm_conv_apply(
-        f, st.valid, rb, w, compute_dtype=jnp.float32) ** 2))(st.feats)
-    g_comp = jax.grad(lambda f: jnp.sum(subm_conv_apply(
-        f, st.valid, rb, w, compute_dtype=jnp.float32, crb=crb) ** 2))(st.feats)
-    np.testing.assert_allclose(
-        np.asarray(g_comp), np.asarray(g_full), rtol=1e-4, atol=1e-4)
-
-    # two-sided compaction: d_feats through the mirrored pair list and d_w
-    # must both match the full-capacity backward
-    from fullysparsefusion_tpu.ops.sparse_conv import mirror_rulebook
-
-    crb_b = build_compact_rulebook(mirror_rulebook(rb), n_pairs)
-
-    def loss2(f, w_):
-        return jnp.sum(subm_conv_apply(
-            f, st.valid, rb, w_, compute_dtype=jnp.float32,
-            crb=crb, crb_bwd=crb_b) ** 2)
-
-    def loss_ref(f, w_):
-        return jnp.sum(subm_conv_apply(
-            f, st.valid, rb, w_, compute_dtype=jnp.float32) ** 2)
-
-    gf2, gw2 = jax.grad(loss2, argnums=(0, 1))(st.feats, w)
-    gfr, gwr = jax.grad(loss_ref, argnums=(0, 1))(st.feats, w)
-    np.testing.assert_allclose(np.asarray(gf2), np.asarray(gfr),
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gwr),
-                               rtol=1e-4, atol=1e-4)
-
-
-@pytest.mark.parametrize("seed", [0, 1])
 def test_identity_tap_matches_gather(seed):
     """identity_tap=13 (center tap as a direct masked matmul) must equal the
-    all-gather form exactly at f32 — forward and both gradients — on every
-    path combination: full, compact-fwd-only, and two-sided compact with
-    skip_tap pair lists."""
+    all-gather form exactly at f32 — forward and both gradients."""
     import jax
     from fullysparsefusion_tpu.ops.sparse_conv import (
         build_subm_rulebook,
-        build_compact_rulebook,
         center_tap,
-        mirror_rulebook,
         subm_conv_apply,
     )
 
@@ -182,21 +109,14 @@ def test_identity_tap_matches_gather(seed):
     st = st.replace(feats=feats)
     w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
     rb = build_subm_rulebook(st)
-    n_pairs = int(np.asarray(rb.hits).sum())
 
     def run(f, w_, **kw):
         return subm_conv_apply(
             f, st.valid, rb, w_, compute_dtype=jnp.float32, **kw)
 
     ref = np.asarray(run(st.feats, w))
-    crb_full = build_compact_rulebook(rb, n_pairs)
-    crb_b_full = build_compact_rulebook(mirror_rulebook(rb), n_pairs)
-    crb_s = build_compact_rulebook(rb, n_pairs, skip_tap=13)
-    crb_b_s = build_compact_rulebook(mirror_rulebook(rb), n_pairs, skip_tap=13)
     cases = {
         "full+idt": dict(identity_tap=13),
-        "compact+idt": dict(identity_tap=13, crb=crb_s),
-        "compact2+idt": dict(identity_tap=13, crb=crb_s, crb_bwd=crb_b_s),
     }
     for name, kw in cases.items():
         np.testing.assert_allclose(
@@ -211,126 +131,9 @@ def test_identity_tap_matches_gather(seed):
                 np.asarray(g_idt), np.asarray(g_ref), rtol=1e-4, atol=1e-4,
                 err_msg=f"{name} grad arg{argnum}")
 
-    # skip_tap pair list is ~|valid| pairs smaller (the center always hits)
+    # the center tap always hits every valid row
     n_center = int(np.asarray(rb.hits[13]).sum())
     assert n_center == int(np.asarray(st.valid).sum())
-    assert int(np.asarray(crb_s.starts[-1])) == n_pairs - n_center
-
-    # mismatched pairing is rejected (double/zero-counted center)
-    with pytest.raises(AssertionError):
-        run(st.feats, w, identity_tap=13, crb=crb_full)
-    with pytest.raises(AssertionError):
-        run(st.feats, w, crb=crb_s)
-
-
-def test_compact_conv_bf16_close_to_full():
-    """Production compute dtype (bf16): the compact path rounds the per-tap
-    product rows to bf16 where the full path keeps f32 products, so the two
-    differ by rounding only — bound it (f32 exactness is proven above)."""
-    import jax
-    from fullysparsefusion_tpu.ops.sparse_conv import (
-        build_subm_rulebook,
-        build_compact_rulebook,
-        mirror_rulebook,
-        subm_conv_apply,
-    )
-
-    rng = np.random.default_rng(33)
-    cin, cout = 8, 8
-    st, _, _, _, n = _make_sparse(3, cin)
-    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
-    rb = build_subm_rulebook(st)
-    n_pairs = int(np.asarray(rb.hits).sum())
-    crb = build_compact_rulebook(rb, n_pairs)
-    crb_b = build_compact_rulebook(mirror_rulebook(rb), n_pairs)
-
-    full = np.asarray(subm_conv_apply(st.feats, st.valid, rb, w))
-    comp = np.asarray(subm_conv_apply(st.feats, st.valid, rb, w, crb=crb))
-    scale = np.abs(full).max() + 1e-6
-    assert np.abs(comp - full).max() / scale < 0.02
-
-    def loss(f, w_, **kw):
-        return jnp.sum(subm_conv_apply(
-            f, st.valid, rb, w_, **kw).astype(jnp.float32) ** 2)
-
-    gf_r, gw_r = jax.grad(loss, argnums=(0, 1))(st.feats, w)
-    gf_c2, gw_c2 = jax.grad(
-        lambda f, w_: loss(f, w_, crb=crb, crb_bwd=crb_b),
-        argnums=(0, 1))(st.feats, w)
-    for a, b in ((gf_c2, gf_r), (gw_c2, gw_r)):
-        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        s = np.abs(b).max() + 1e-6
-        assert np.abs(a - b).max() / s < 0.03
-
-
-@pytest.mark.parametrize("op", ["strided", "inverse"])
-def test_compact_pair_conv_matches_full(op):
-    """Strided/inverse convs through compacted pair lists == the
-    full-capacity pair-gather form, outputs AND both gradients."""
-    import jax
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(7)
-    cin, cout = 4, 6
-    st, _, _, _, n = _make_sparse(5, cin)
-    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
-    k, s, p = (3, 3, 3), (2, 2, 2), (1, 1, 1)
-
-    if op == "strided":
-        def run(pair_cap):
-            return sparse_conv3d(
-                st, w, None, k, s, p, out_capacity=128,
-                compute_dtype=jnp.float32, compact_pair_capacity=pair_cap)
-    else:
-        down = sparse_conv3d(st, w, None, k, s, p, out_capacity=128,
-                             compute_dtype=jnp.float32)
-        st2 = down.replace(
-            feats=jnp.asarray(rng.normal(
-                size=down.feats.shape).astype(np.float32))
-            * down.valid[:, None])
-        w2 = jnp.asarray(
-            rng.normal(size=(27, cout, 5)).astype(np.float32) * 0.1)
-
-        def run(pair_cap):
-            return sparse_inverse_conv3d(
-                st2, st.coords, st.batch,
-                st.valid, st.dims, w2, None, k, s, p,
-                compute_dtype=jnp.float32, compact_pair_capacity=pair_cap)
-
-    full = run(None)
-    comp = run(27 * 128 if op == "strided" else 27 * st.capacity)
-    np.testing.assert_allclose(
-        np.asarray(comp.feats), np.asarray(full.feats), rtol=1e-5, atol=1e-5)
-    np.testing.assert_array_equal(
-        np.asarray(comp.valid), np.asarray(full.valid))
-
-    # gradients (d_feats through the compacted backward query + d_w)
-    if op == "strided":
-        def loss(feats_in, ww, pair_cap):
-            out = sparse_conv3d(
-                st.replace(feats=feats_in), ww, None, k, s, p,
-                out_capacity=128, compute_dtype=jnp.float32,
-                compact_pair_capacity=pair_cap)
-            return jnp.sum(out.feats ** 2)
-
-        args = (st.feats, w)
-    else:
-        def loss(feats_in, ww, pair_cap):
-            out = sparse_inverse_conv3d(
-                st2.replace(feats=feats_in), st.coords, st.batch, st.valid,
-                st.dims, ww, None, k, s, p, compute_dtype=jnp.float32,
-                compact_pair_capacity=pair_cap)
-            return jnp.sum(out.feats ** 2)
-
-        args = (st2.feats, w2)
-
-    cap_pairs = 27 * 128 if op == "strided" else 27 * st.capacity
-    gf_c, gw_c = jax.grad(loss, argnums=(0, 1))(*args, cap_pairs)
-    gf_f, gw_f = jax.grad(loss, argnums=(0, 1))(*args, None)
-    np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_f),
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_f),
-                               rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.parametrize("padding", [(1, 1, 1), (0, 1, 1)])
