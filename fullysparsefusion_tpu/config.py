@@ -38,7 +38,10 @@ class Capacities:
     voxels: int = 16384          # segmentation-voxelization capacity
     prevox: int = 16384          # 0.1 m pre-voxelization capacity
     fg_per_group: int = 2048     # compacted foreground points per class-group
-    cluster_voxels_per_group: int = 1024  # clustering-voxel capacity per group
+    # clustering-voxel capacity per group. The batched CCL re-slots this
+    # per sample (models/fsd.cluster_all_groups), so provision it as
+    # batch_size × the worst single-sample voxel count, not the batch sum.
+    cluster_voxels_per_group: int = 1024
     clusters: int = 512          # total cluster (query) capacity
     max_gt: int = 128            # padded GT boxes per sample
     # camera branch
@@ -88,6 +91,12 @@ class VoteSegmentorConfig:
     # occupancy (capacity / grid cells) above which a stage's convs use the
     # dense scatter → MXU conv → gather-back path instead of tap gathers
     unet_dense_min_occupancy: float = 0.15
+    # window-gather conv (w_size, blk, resid) for the gather-path convs
+    # (ops/sparse_conv.WindowSpec; Pallas kernel with built-in exact
+    # fallback). w_size=0 disables. Lives in config — NOT an env var — so
+    # config_compat sees it and the bench runs what was validated
+    # (docs/performance.md round-4 A/B).
+    unet_window_conv: Tuple[int, int, int] = (0, 256, 64)
     head_hidden_dims: Tuple[int, ...] = (128, 128)
     # losses
     seg_loss_weight: float = 10.0

@@ -203,7 +203,17 @@ def cluster_all_groups(
     Returns per-group (label [K], point_valid [K]) lists; labels are compact
     within each (group, sample) — downstream keys include the batch id, so
     cross-sample label collisions are impossible.
+
+    CAPACITY NOTE: the per-sample re-slotting caps each sample at
+    ``vcap // batch_size`` voxels, so ``caps.cluster_voxels_per_group`` must
+    be provisioned as batch_size × the worst SINGLE-SAMPLE voxel count — a
+    skewed batch where one sample exceeds vcap/B truncates that sample's
+    highest-key clusters even though the global table had room. The drop is
+    surfaced like the pair/window budget probes: FSF_DEBUG_CAPACITY=1
+    prints when any sample overflows its per-sample run.
     """
+    import os as _os
+
     vcap = cfg.caps.cluster_voxels_per_group
     vps = max(vcap // max(batch_size, 1), 1)
     pc_range = cfg.segmentor.point_cloud_range
@@ -215,6 +225,20 @@ def cluster_all_groups(
         dims = grid_dims(cfg.cluster_voxel_sizes[g], pc_range)
         cells = dims[0] * dims[1] * dims[2]
         start, gidx, gok = _per_sample_slots(seg, batch_size, cells, vps)
+        if _os.environ.get("FSF_DEBUG_CAPACITY", "0") not in ("", "0"):
+            slot_b = jnp.where(
+                seg.seg_valid, seg.unique_keys // cells, batch_size)
+            cnt_b = jax.ops.segment_sum(
+                jnp.ones((vcap,), jnp.int32), slot_b,
+                num_segments=batch_size + 1)[:batch_size]
+            jax.lax.cond(
+                (cnt_b > vps).any(),
+                lambda c: jax.debug.print(
+                    "CLUSTER PER-SAMPLE OVERFLOW [group=" + str(g)
+                    + "]: per-sample voxel counts {c} exceed vps="
+                    + str(vps) + " (raise caps.cluster_voxels_per_group)",
+                    c=c),
+                lambda c: None, cnt_b)
         xy = (vc[:, :2] / cfg.connected_dists[g])[gidx]
         xys.append(xy.reshape(batch_size, vps, 2))
         vns.append((gok & vn[gidx]).reshape(batch_size, vps))

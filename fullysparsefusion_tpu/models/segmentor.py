@@ -74,6 +74,9 @@ class SegmentorCore(nn.Module):
             stage_capacity_divisors=c.unet_capacity_divisors,
             stage_capacities=c.unet_stage_capacities,
             dense_min_occupancy=c.unet_dense_min_occupancy,
+            window_conv=(
+                tuple(c.unet_window_conv)
+                if c.unet_window_conv and c.unet_window_conv[0] > 0 else None),
         )(st, train)  # [voxels, out_ch]
 
         # voxel2point neck: gather voxel feature + local offset from voxel center

@@ -42,6 +42,7 @@ class _SubMBlock(nn.Module):
     out_channels: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     dense_min_occupancy: float = 0.15
+    window_conv: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(
@@ -60,7 +61,8 @@ class _SubMBlock(nn.Module):
         else:
             y = subm_conv_apply(
                 st.feats, st.valid, rb, w, None,
-                identity_tap=center_tap(self.kernel_size))
+                identity_tap=center_tap(self.kernel_size),
+                window=self.window_conv)
         y = MaskedBatchNorm()(y, st.valid, train)
         y = nn.relu(y) * st.valid[:, None].astype(y.dtype)
         # keep activations bf16 between convs — halves neighbor-gather traffic
@@ -74,6 +76,7 @@ class _DownBlock(nn.Module):
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (2, 2, 2)
     dense_min_occupancy: float = 0.15
+    window_conv: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(
@@ -95,6 +98,7 @@ class _DownBlock(nn.Module):
             out = sparse_conv3d(
                 st, w, None, self.kernel_size, self.stride, self.padding,
                 self.out_capacity, compute_dtype=jnp.bfloat16, src_t3=src_t3,
+                window=self.window_conv,
             )
         y = MaskedBatchNorm()(out.feats, out.valid, train)
         y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
@@ -106,6 +110,7 @@ class _UpBlock(nn.Module):
     padding: Tuple[int, int, int]
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (2, 2, 2)
+    window_conv: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(
@@ -132,6 +137,7 @@ class _UpBlock(nn.Module):
             self.padding,
             compute_dtype=jnp.bfloat16,
             src_t3=src_t3,
+            window=self.window_conv,
         )
         y = MaskedBatchNorm()(out.feats, out.valid, train)
         y = nn.relu(y) * out.valid[:, None].astype(y.dtype)
@@ -163,6 +169,10 @@ class SparseUNet(nn.Module):
     stage_capacities: Optional[Sequence[int]] = None
     # active/total-cell occupancy above which convs take the dense MXU path
     dense_min_occupancy: float = 0.15
+    # window-gather conv spec (w_size, blk, resid) for gather-path stages;
+    # None disables (ops/sparse_conv.WindowSpec — exact fallback built in)
+    window_conv: Optional[Tuple[int, int, int]] = None
+
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False) -> jax.Array:
         cap0 = st.capacity
@@ -174,7 +184,7 @@ class SparseUNet(nn.Module):
         rulebooks = [build_subm_rulebook(st, t3=t3s[0])]
         st = _SubMBlock(
             self.base_channels, dense_min_occupancy=self.dense_min_occupancy,
-            name="conv_input",
+            window_conv=self.window_conv, name="conv_input",
         )(st, rulebooks[0], train)
 
         skips = []
@@ -191,12 +201,13 @@ class SparseUNet(nn.Module):
                         padding=tuple(self.encoder_strided_paddings[i - 1]),
                         out_capacity=out_cap,
                         dense_min_occupancy=self.dense_min_occupancy,
+                        window_conv=self.window_conv,
                         name=f"enc{i}_down",
                     )(st, train, src_t3=t3s[i - 1])
                     t3s.append(stage_table(st))
                     rulebooks.append(build_subm_rulebook(st, t3=t3s[i]))
                 else:
-                    st = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"enc{i}_subm{j}")(st, rulebooks[i], train)
+                    st = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, window_conv=self.window_conv, name=f"enc{i}_subm{j}")(st, rulebooks[i], train)
             skips.append(st)
 
         x = skips[-1]
@@ -208,15 +219,16 @@ class SparseUNet(nn.Module):
             merged = x.replace(feats=jnp.concatenate([x.feats, skip.feats], axis=1))
             y = merged
             for j, c in enumerate(widths[:-1]):
-                y = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, name=f"dec{d}_subm{j}")(y, rulebooks[enc_stage], train)
+                y = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, window_conv=self.window_conv, name=f"dec{d}_subm{j}")(y, rulebooks[enc_stage], train)
             x = _UpBlock(
                 widths[-1],
                 padding=tuple(self.encoder_strided_paddings[enc_stage - 1]),
+                window_conv=self.window_conv,
                 name=f"dec{d}_up",
             )(y, target, train, src_t3=t3s[enc_stage])
 
         # final merge with stage-0 skip and projection to output_channels
         merged = x.replace(feats=jnp.concatenate([x.feats, skips[0].feats], axis=1))
-        out = _SubMBlock(self.output_channels, dense_min_occupancy=self.dense_min_occupancy, name="conv_out")(merged, rulebooks[0], train)
+        out = _SubMBlock(self.output_channels, dense_min_occupancy=self.dense_min_occupancy, window_conv=self.window_conv, name="conv_out")(merged, rulebooks[0], train)
         # heads and the scatter neck expect f32
         return out.feats.astype(jnp.float32)

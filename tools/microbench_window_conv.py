@@ -4,8 +4,8 @@ shapes (stage-0 and stage-1 active sets of the bench scene).
 Sweeps the window size W: smaller W cuts the one-hot MXU cost linearly,
 while the group-level residual pass absorbs the extra straddling
 (tap-group, block) pairs — the probe prints both the out-of-window hit
-count and the straddling-group count (the actual capacity condition,
-vs FSF_WINDOW_RESID) at each W.
+count and the straddling-group count (the actual capacity condition, vs
+the config's unet_window_conv resid) at each W.
 
     python tools/microbench_window_conv.py --iters 20
 """
