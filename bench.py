@@ -105,11 +105,12 @@ def build_bench_model():
     # per the round-4 full-bench A/B (docs/performance.md)
     win_w = int(os.environ.get("FSF_WINDOW_CONV", "0") or 0)
     win_resid = int(os.environ.get("FSF_WINDOW_RESID", "64"))
-    if os.environ.get("FSF_DENSE_UNIQUE", "1") in ("", "0"):
-        # A/B toggle: force the sorted-unique path everywhere
+    if os.environ.get("FSF_DENSE_UNIQUE", "0") not in ("", "0"):
+        # A/B toggle: re-enable the sort-free dense unique (default off —
+        # measured 9.5 ms/frame loss, docs/performance.md round-4 A/B)
         from fullysparsefusion_tpu.ops import sparse_conv as _sc
 
-        _sc.DENSE_UNIQUE_MAX_CELLS = 0
+        _sc.DENSE_UNIQUE_MAX_CELLS = 160 * 1024 * 1024
     seg = VoteSegmentorConfig(
         unet_stage_capacities=tuple(
             c * batch for c in (57344, 40960, 24576, 8192, 2560)),

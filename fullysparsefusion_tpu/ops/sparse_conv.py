@@ -70,11 +70,14 @@ DENSE_LOOKUP_MAX_CELLS = 160 * 1024 * 1024
 TRIPLET_MAX_CELLS = 96 * 1024 * 1024
 # Sort-free unique (mark grid → MXU prefix sum → invert,
 # segment.unique_segments_dense) replaces the 8·cap-key argsort in
-# downsample_coords when the out grid fits this budget. The earlier
-# sort-free attempt was a wash ONLY because XLA's cumsum over the cell
-# table is a log2(N) pass chain (docs/performance.md round-3 negatives);
-# cumsum_marks runs it on the MXU.
-DENSE_UNIQUE_MAX_CELLS = 160 * 1024 * 1024
+# downsample_coords when the out grid fits this budget. DEFAULT OFF:
+# despite per-stage microbench wins, the FULL bench measured it a 9.5
+# ms/frame LOSS at nuScenes scale (140.1 → 130.6 ms with it off,
+# docs/performance.md round-4 A/B — the dense occupancy passes thrash HBM
+# across stages in ways the isolated microbench can't see). Re-evaluate
+# per scale with a real full-bench number before raising (AV2's 134M-cell
+# grid may still want it — its argsort alternative costs ~20 ms there).
+DENSE_UNIQUE_MAX_CELLS = 0
 
 
 def _use_dense_unique(cells: int) -> bool:

@@ -70,8 +70,11 @@ def test_devkit_ap_hand_computed():
     """Cross-check against the devkit calc_ap formula on a hand-solvable
     case: 2 GT, 1 TP at score .9, 1 FP at score .5. Interpolated precision
     (np.interp, devkit semantics): 1.0 for recall < .5, 0.5 AT recall .5
-    (duplicate-x returns the last value), 0 beyond. Over the 91 recall
-    points ≥ .1: 40 points at (1-.1)/.9 = 1 plus one at (.5-.1)/.9."""
+    (duplicate-x returns the last value), 0 beyond. calc_ap averages
+    ``clip(prec − 0.1, 0) / 0.9`` over recall bins 11..100 — the devkit's
+    ``prec[round(100·min_recall) + 1:]`` EXCLUDES the 0.10 bin itself
+    ("+1 to exclude the min recall bin", algo.py): bins 11..49 give 39
+    values of 0.9, bin 50 gives 0.4, the rest 0."""
     gt = np.stack([_box(5, 0), _box(20, 0)])
     preds = np.stack([_box(5, 0), _box(40, 15)])  # second matches nothing
     rec = DetectionRecord(
@@ -80,8 +83,8 @@ def test_devkit_ap_hand_computed():
         gt_boxes=gt, gt_labels=np.zeros(2, np.int32),
     )
     m = evaluate_detections([rec], 1, ["car"])
-    expect = (40 + (0.5 - 0.1) / 0.9) / 91
-    np.testing.assert_allclose(m["per_class"]["car"]["AP"], expect, atol=1e-3)
+    expect = (39 * 0.9 + 0.4) / 90 / 0.9
+    np.testing.assert_allclose(m["per_class"]["car"]["AP"], expect, atol=1e-9)
 
 
 def test_devkit_class_range_filtering():
@@ -199,3 +202,126 @@ def test_default_attribute_heuristic():
     assert a[1] == ATTR_ID["cycle.with_rider"]
     assert a[2] == ATTR_ID["pedestrian.moving"]
     assert a[3] == -1  # no attributes for cones
+
+
+# ---------------------------------------------------------------------------
+# Brute-force independent cross-check (VERDICT r3 item 7): a from-scratch
+# reimplementation of the devkit protocol below — explicit loops, manual
+# piecewise-linear interpolation, no code shared with eval/detection.py —
+# run over randomized scenes. A bug common to both would have to be made
+# twice in structurally different code.
+# ---------------------------------------------------------------------------
+
+def _interp_at(q, xs, ys):
+    """Manual np.interp for one ascending query list: left-extend first y,
+    right = 0 (devkit right=0 for precision/confidence)."""
+    out = []
+    for x in q:
+        if x < xs[0]:
+            out.append(ys[0])
+        elif x > xs[-1]:
+            out.append(0.0)
+        else:
+            # duplicates in xs: np.interp uses the LAST duplicate as left
+            # anchor, the FIRST as right anchor, and for an exact hit
+            # returns ys at the LAST duplicate of x
+            j = min(k for k in range(len(xs)) if xs[k] >= x)
+            if xs[j] == x:
+                j = max(k for k in range(len(xs)) if xs[k] == x)
+                out.append(ys[j])
+            else:
+                i = max(k for k in range(len(xs)) if xs[k] < x)
+                t = (x - xs[i]) / (xs[j] - xs[i])
+                out.append(ys[i] + t * (ys[j] - ys[i]))
+    return out
+
+
+def _brute_force_class_ap(records, cls, dist_th, max_range):
+    """Independent devkit accumulate → calc_ap for one (class, threshold)."""
+    n_gt = 0
+    per_sample_gt = []
+    for r in records:
+        g = [b for b, l in zip(r.gt_boxes, r.gt_labels)
+             if l == cls and (b[0] ** 2 + b[1] ** 2) ** 0.5 <= max_range]
+        per_sample_gt.append([list(map(float, b)) for b in g])
+        n_gt += len(g)
+    if n_gt == 0:
+        return None
+    preds = []
+    for si, r in enumerate(records):
+        for b, s, l in zip(r.boxes, r.scores, r.labels):
+            if l == cls and (b[0] ** 2 + b[1] ** 2) ** 0.5 <= max_range:
+                preds.append((float(s), si, [float(b[0]), float(b[1])]))
+    preds.sort(key=lambda t: -t[0])
+    used = [set() for _ in records]
+    tp_flags = []
+    for score, si, (px, py) in preds:
+        cands = [(((px - g[0]) ** 2 + (py - g[1]) ** 2) ** 0.5, j)
+                 for j, g in enumerate(per_sample_gt[si]) if j not in used[si]]
+        if cands:
+            d, j = min(cands)
+            if d < dist_th:
+                used[si].add(j)
+                tp_flags.append(1)
+                continue
+        tp_flags.append(0)
+    if sum(tp_flags) == 0:
+        return 0.0
+    recalls, precs = [], []
+    tp = fp = 0
+    for f in tp_flags:
+        tp += f
+        fp += 1 - f
+        recalls.append(tp / n_gt)
+        precs.append(tp / (tp + fp))
+    grid = [k / 100.0 for k in range(101)]
+    prec_i = _interp_at(grid, recalls, precs)
+    vals = [max(0.0, p - 0.1) for p in prec_i[11:]]
+    return sum(vals) / len(vals) / 0.9
+
+
+def test_brute_force_map_property():
+    from fullysparsefusion_tpu.eval.detection import (
+        CLASS_RANGES, DIST_THRESHOLDS,
+    )
+    names = ["car", "pedestrian", "barrier"]
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        recs = []
+        for _ in range(3):
+            ngt = int(rng.integers(1, 8))
+            npred = int(rng.integers(0, 12))
+            gt = np.zeros((ngt, 9), np.float32)
+            gt[:, :2] = rng.uniform(-55, 55, (ngt, 2))
+            gt[:, 3:6] = rng.uniform(0.5, 4, (ngt, 3))
+            gt[:, 6] = rng.uniform(-np.pi, np.pi, ngt)
+            pr = np.zeros((npred, 9), np.float32)
+            # predictions scattered near GTs and at random, to hit all of
+            # {TP at several thresholds, near-miss, far FP, out-of-range}
+            for i in range(npred):
+                if i < ngt and rng.random() < 0.7:
+                    pr[i] = gt[i]
+                    pr[i, :2] += rng.normal(0, 1.5, 2)
+                else:
+                    pr[i, :2] = rng.uniform(-55, 55, 2)
+                    pr[i, 3:6] = rng.uniform(0.5, 4, 3)
+            recs.append(DetectionRecord(
+                boxes=pr, scores=rng.uniform(0.1, 1, npred).astype(np.float32),
+                labels=rng.integers(0, 3, npred).astype(np.int32),
+                gt_boxes=gt,
+                gt_labels=rng.integers(0, 3, ngt).astype(np.int32),
+            ))
+        m = evaluate_detections(recs, 3, names)
+        # independent mAP
+        cls_aps = []
+        for c, name in enumerate(names):
+            aps = [
+                _brute_force_class_ap(recs, c, th, CLASS_RANGES[name])
+                for th in DIST_THRESHOLDS
+            ]
+            aps = [a for a in aps if a is not None]
+            if aps:
+                cls_aps.append(sum(aps) / len(aps))
+        expect = sum(cls_aps) / len(cls_aps) if cls_aps else 0.0
+        np.testing.assert_allclose(m["mAP"], expect, atol=1e-9,
+                                   err_msg=f"trial {trial}")
