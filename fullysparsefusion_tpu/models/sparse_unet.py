@@ -181,7 +181,7 @@ class SparseUNet(nn.Module):
         # decoder + final projection), the down-conv reading from it, and
         # the up-conv writing from it (ops/sparse_conv._x_triplet_table)
         t3s = [stage_table(st)]
-        rulebooks = [build_subm_rulebook(st, t3=t3s[0])]
+        rulebooks = [build_subm_rulebook(st, t3=t3s[0], window=self.window_conv)]
         st = _SubMBlock(
             self.base_channels, dense_min_occupancy=self.dense_min_occupancy,
             window_conv=self.window_conv, name="conv_input",
@@ -205,7 +205,8 @@ class SparseUNet(nn.Module):
                         name=f"enc{i}_down",
                     )(st, train, src_t3=t3s[i - 1])
                     t3s.append(stage_table(st))
-                    rulebooks.append(build_subm_rulebook(st, t3=t3s[i]))
+                    rulebooks.append(build_subm_rulebook(
+                        st, t3=t3s[i], window=self.window_conv))
                 else:
                     st = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, window_conv=self.window_conv, name=f"enc{i}_subm{j}")(st, rulebooks[i], train)
             skips.append(st)

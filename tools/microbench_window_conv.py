@@ -115,7 +115,7 @@ def main():
         sweep(
             label,
             lambda f, r, w_: _subm_conv_core(
-                f, w_, valid, r, "bfloat16", None).sum(),
+                f, w_, valid, r, None, "bfloat16", None).sum(),
             lambda w_size, f, r, w_: window_gather_conv(
                 f, r, w_, w_size=w_size, blk=args.blk,
                 resid=args.resid).sum(),
