@@ -101,9 +101,10 @@ def build_bench_model():
     )
     # per-stage active-set capacities from measured scan occupancy (+10%)
     # window-gather conv spec: env seeds the CONFIG here (bench-only knob —
-    # the model itself reads config, VERDICT r3 weakness 6); default off
-    # per the round-4 full-bench A/B (docs/performance.md)
-    win_w = int(os.environ.get("FSF_WINDOW_CONV", "0") or 0)
+    # the model itself reads config, VERDICT r3 weakness 6); default ON at
+    # W=192 with the per-stage table cache: 119.2 vs 130.3 ms/frame
+    # (docs/performance.md round-4 A/B follow-up)
+    win_w = int(os.environ.get("FSF_WINDOW_CONV", "192") or 0)
     win_resid = int(os.environ.get("FSF_WINDOW_RESID", "64"))
     if os.environ.get("FSF_DENSE_UNIQUE", "0") not in ("", "0"):
         # A/B toggle: re-enable the sort-free dense unique (default off —

@@ -95,8 +95,12 @@ class VoteSegmentorConfig:
     # (ops/sparse_conv.WindowSpec; Pallas kernel with built-in exact
     # fallback). w_size=0 disables. Lives in config — NOT an env var — so
     # config_compat sees it and the bench runs what was validated
-    # (docs/performance.md round-4 A/B).
-    unet_window_conv: Tuple[int, int, int] = (0, 256, 64)
+    # (docs/performance.md round-4 A/B). DEFAULT ON at W=192 since the
+    # per-stage table cache landed: full bench 119.2 vs 130.3 ms/frame
+    # (2026-08-19, real v5e — round 3's per-conv table build was the loss).
+    # Ineligible shapes (cap % blk != 0, non-3³ kernels, non-TPU backends)
+    # fall back to the XLA gather conv automatically.
+    unet_window_conv: Tuple[int, int, int] = (192, 256, 64)
     head_hidden_dims: Tuple[int, ...] = (128, 128)
     # losses
     seg_loss_weight: float = 10.0

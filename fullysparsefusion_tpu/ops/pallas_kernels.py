@@ -361,8 +361,10 @@ def window_gather_conv(
         contrib = jnp.einsum(
             "rtjc,rtco->rjo", f_r, w_r,
             preferred_element_type=jnp.float32) * wt.rep_ok[:, None, None]
-        j_idx = wt.rep_b[:, None] * blk + jnp.arange(blk)[None, :]
-        out = out.at[j_idx].add(contrib)
+        # scatter-add at BLOCK granularity (R whole [blk, Cout] slices) —
+        # far coarser updates than the 16k-row form (R·blk row indices)
+        out = (out.reshape(nblk, blk, cout).at[wt.rep_b].add(contrib)
+               .reshape(n_out, cout))
     return out
 
 

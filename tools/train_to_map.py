@@ -62,7 +62,10 @@ def eval_map(model, vars_, scenes, batch_size, class_names, fwd=None):
     return m["mAP"], fwd
 
 
-def build_scenes(cfg, n_scenes, batch_size, seed0):
+def build_scenes(cfg, n_scenes, batch_size, seed0, scene_classes=None):
+    """``scene_classes`` restricts GT labels to the first N classes so each
+    class gets enough boxes for a stable per-class AP (18 boxes over 10
+    classes gives 1-2 GT/class — pure noise at toy scale)."""
     import jax
     from fixtures import make_scene, make_camera_data, with_noaug_channels
 
@@ -70,7 +73,8 @@ def build_scenes(cfg, n_scenes, batch_size, seed0):
     for s in range(n_scenes):
         pb, gt = make_scene(
             seed=seed0 + s, batch_size=batch_size, n_cap=cfg.caps.points,
-            max_gt=cfg.caps.max_gt, num_classes=cfg.num_classes)
+            max_gt=cfg.caps.max_gt,
+            num_classes=scene_classes or cfg.num_classes)
         cam = make_camera_data(pb, gt, batch_size=batch_size,
                                num_classes=cfg.num_classes)
         pb = with_noaug_channels(pb)
@@ -83,7 +87,8 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--scenes", type=int, default=3)
     ap.add_argument("--eval-every", type=int, default=50)
-    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--scene-classes", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -103,8 +108,10 @@ def main():
 
     cfg = tiny_fsf_config()
     batch = 2
-    train_scenes = build_scenes(cfg, args.scenes, batch, seed0=7)
-    held_scenes = build_scenes(cfg, 1, batch, seed0=9000)
+    train_scenes = build_scenes(cfg, args.scenes, batch, seed0=7,
+                                scene_classes=args.scene_classes)
+    held_scenes = build_scenes(cfg, 1, batch, seed0=9000,
+                               scene_classes=args.scene_classes)
 
     model = FSF(cfg=cfg)
     pb0, cam0, _ = train_scenes[0]
