@@ -106,6 +106,8 @@ def build_bench_model():
     # (docs/performance.md round-4 A/B follow-up)
     win_w = int(os.environ.get("FSF_WINDOW_CONV", "192") or 0)
     win_resid = int(os.environ.get("FSF_WINDOW_RESID", "64"))
+    # 4th spec element: window dispatch in conv BACKWARDS (1=on) — A/B knob
+    win_bwd = int(os.environ.get("FSF_WINDOW_BWD", "1") or 0)
     if os.environ.get("FSF_DENSE_UNIQUE", "0") not in ("", "0"):
         # A/B toggle: re-enable the sort-free dense unique (default off —
         # measured 9.5 ms/frame loss, docs/performance.md round-4 A/B)
@@ -117,7 +119,11 @@ def build_bench_model():
             c * batch for c in (57344, 40960, 24576, 8192, 2560)),
         unet_dense_min_occupancy=float(
             os.environ.get("FSF_BENCH_DENSE_OCC", 0.15)),
-        unet_window_conv=(win_w, 256, win_resid),
+        unet_window_conv=(win_w, 256, win_resid, win_bwd),
+        # window dispatch under train: default OFF (train A/B —
+        # 257.4 ms/step gather vs 320.7/331.8 with the window path)
+        unet_window_conv_train=(
+            os.environ.get("FSF_WINDOW_TRAIN", "0") not in ("", "0")),
     )
     cfg = FSFConfig(fsd=FSDConfig(caps=caps, segmentor=seg))
 

@@ -99,8 +99,18 @@ class VoteSegmentorConfig:
     # per-stage table cache landed: full bench 119.2 vs 130.3 ms/frame
     # (2026-08-19, real v5e — round 3's per-conv table build was the loss).
     # Ineligible shapes (cap % blk != 0, non-3³ kernels, non-TPU backends)
-    # fall back to the XLA gather conv automatically.
-    unet_window_conv: Tuple[int, int, int] = (192, 256, 64)
+    # fall back to the XLA gather conv automatically. An optional 4th
+    # element (w, blk, resid, bwd) gates the BACKWARD window dispatch:
+    # bwd=0 keeps d_feats on the XLA gather conv (both exact —
+    # ops/sparse_conv._window_bwd_on; measured choice per
+    # docs/performance.md round-4 train A/B).
+    unet_window_conv: Tuple[int, ...] = (192, 256, 64)
+    # apply the window spec under train=True too. Default False — the
+    # window kernel wins the inference forward but loses the training step
+    # (+63 ms/step measured even with the backward on the gather conv,
+    # docs/performance.md round-4 train A/B); like spconv's per-pass algo
+    # autotuning, dispatch is a timing choice with identical numerics.
+    unet_window_conv_train: bool = False
     head_hidden_dims: Tuple[int, ...] = (128, 128)
     # losses
     seg_loss_weight: float = 10.0

@@ -77,6 +77,7 @@ class SegmentorCore(nn.Module):
             window_conv=(
                 tuple(c.unet_window_conv)
                 if c.unet_window_conv and c.unet_window_conv[0] > 0 else None),
+            window_conv_train=c.unet_window_conv_train,
         )(st, train)  # [voxels, out_ch]
 
         # voxel2point neck: gather voxel feature + local offset from voxel center

@@ -169,22 +169,32 @@ class SparseUNet(nn.Module):
     stage_capacities: Optional[Sequence[int]] = None
     # active/total-cell occupancy above which convs take the dense MXU path
     dense_min_occupancy: float = 0.15
-    # window-gather conv spec (w_size, blk, resid) for gather-path stages;
-    # None disables (ops/sparse_conv.WindowSpec — exact fallback built in)
-    window_conv: Optional[Tuple[int, int, int]] = None
+    # window-gather conv spec (w_size, blk, resid[, bwd]) for gather-path
+    # stages; None disables (ops/sparse_conv.WindowSpec — exact fallback
+    # built in)
+    window_conv: Optional[Tuple[int, ...]] = None
+    # apply the window spec under train=True too. Default False: the window
+    # kernel wins the inference forward (−11 ms/frame full bench) but LOSES
+    # the training step (+63 ms/step even with the backward on the gather
+    # conv — measured 2026-08-19, docs/performance.md round-4 train A/B).
+    # Same idea as spconv's per-pass algo selection: dispatch is a timing
+    # choice, numerics are identical either way.
+    window_conv_train: bool = False
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False) -> jax.Array:
         cap0 = st.capacity
+        # per-pass window dispatch (see window_conv_train above)
+        win = self.window_conv if (not train or self.window_conv_train) else None
         # one x-triplet table + rulebook per stage, shared by every conv
         # touching that active set: the stage's submanifold convs (encoder +
         # decoder + final projection), the down-conv reading from it, and
         # the up-conv writing from it (ops/sparse_conv._x_triplet_table)
         t3s = [stage_table(st)]
-        rulebooks = [build_subm_rulebook(st, t3=t3s[0], window=self.window_conv)]
+        rulebooks = [build_subm_rulebook(st, t3=t3s[0], window=win)]
         st = _SubMBlock(
             self.base_channels, dense_min_occupancy=self.dense_min_occupancy,
-            window_conv=self.window_conv, name="conv_input",
+            window_conv=win, name="conv_input",
         )(st, rulebooks[0], train)
 
         skips = []
@@ -201,14 +211,14 @@ class SparseUNet(nn.Module):
                         padding=tuple(self.encoder_strided_paddings[i - 1]),
                         out_capacity=out_cap,
                         dense_min_occupancy=self.dense_min_occupancy,
-                        window_conv=self.window_conv,
+                        window_conv=win,
                         name=f"enc{i}_down",
                     )(st, train, src_t3=t3s[i - 1])
                     t3s.append(stage_table(st))
                     rulebooks.append(build_subm_rulebook(
-                        st, t3=t3s[i], window=self.window_conv))
+                        st, t3=t3s[i], window=win))
                 else:
-                    st = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, window_conv=self.window_conv, name=f"enc{i}_subm{j}")(st, rulebooks[i], train)
+                    st = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, window_conv=win, name=f"enc{i}_subm{j}")(st, rulebooks[i], train)
             skips.append(st)
 
         x = skips[-1]
@@ -220,16 +230,16 @@ class SparseUNet(nn.Module):
             merged = x.replace(feats=jnp.concatenate([x.feats, skip.feats], axis=1))
             y = merged
             for j, c in enumerate(widths[:-1]):
-                y = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, window_conv=self.window_conv, name=f"dec{d}_subm{j}")(y, rulebooks[enc_stage], train)
+                y = _SubMBlock(c, dense_min_occupancy=self.dense_min_occupancy, window_conv=win, name=f"dec{d}_subm{j}")(y, rulebooks[enc_stage], train)
             x = _UpBlock(
                 widths[-1],
                 padding=tuple(self.encoder_strided_paddings[enc_stage - 1]),
-                window_conv=self.window_conv,
+                window_conv=win,
                 name=f"dec{d}_up",
             )(y, target, train, src_t3=t3s[enc_stage])
 
         # final merge with stage-0 skip and projection to output_channels
         merged = x.replace(feats=jnp.concatenate([x.feats, skips[0].feats], axis=1))
-        out = _SubMBlock(self.output_channels, dense_min_occupancy=self.dense_min_occupancy, window_conv=self.window_conv, name="conv_out")(merged, rulebooks[0], train)
+        out = _SubMBlock(self.output_channels, dense_min_occupancy=self.dense_min_occupancy, window_conv=win, name="conv_out")(merged, rulebooks[0], train)
         # heads and the scatter neck expect f32
         return out.feats.astype(jnp.float32)

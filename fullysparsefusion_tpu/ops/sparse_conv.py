@@ -340,7 +340,7 @@ def _attach_window_tables(
         return rb
     from .pallas_kernels import build_window_tables
 
-    w_size, blk, resid = window
+    w_size, blk, resid = window[:3]
     return rb.replace(
         win=build_window_tables(rb.rows, cap, blk, w_size, resid))
 
@@ -419,10 +419,19 @@ def _pvary_params(*xs):
 # default must be visible to config_compat and testable per-config —
 # round-3's env-var default shipped unbenched and regressed the frame time,
 # docs/performance.md round-4 A/B). w_size=0 disables.
-WindowSpec = Tuple[int, int, int]
+WindowSpec = Tuple[int, ...]
 # test hook: lets CPU suites exercise the full window dispatch (incl. the
 # exact-fallback cond) through the kernel's interpret path
 _WINDOW_ON_CPU = False
+
+
+def _window_bwd_on(window: Optional[WindowSpec]) -> bool:
+    """Optional 4th spec element gates the BACKWARD window dispatch:
+    (w_size, blk, resid, bwd) — bwd=0 keeps the forward on the Pallas
+    window kernel but routes d_feats through the XLA gather conv (both
+    exact; which is faster is a measured, per-model choice recorded in
+    docs/performance.md)."""
+    return window is None or len(window) < 4 or bool(window[3])
 
 
 def _window_eligible(cap: int, k3: int, window: Optional[WindowSpec]) -> bool:
@@ -431,7 +440,7 @@ def _window_eligible(cap: int, k3: int, window: Optional[WindowSpec]) -> bool:
     raise."""
     if window is None:
         return False
-    w_size, blk, resid = window
+    w_size, blk, resid = window[:3]
     if w_size <= 0:
         return False
     # Mosaic's DMA tiling rule: window starts/bounds assume 16-row alignment
@@ -465,7 +474,7 @@ def _conv_dispatch(feats, w, rows, cdtype, identity_tap: Optional[int],
         return _gather_conv(f_z, rows, w_c, identity_tap)
     from .pallas_kernels import build_window_tables, window_gather_conv
 
-    w_size, blk, resid = window
+    w_size, blk, resid = window[:3]
     cap = feats.shape[0]
     if wt is None:
         wt = build_window_tables(rows, cap, blk, w_size, resid)
@@ -523,14 +532,15 @@ def _subm_conv_bwd(compute_dtype_name, identity_tap, window, res, g):
     # MIRRORED rulebook entry rows[K³−1−k][p] (tap enumeration is symmetric)
     wT = w.transpose(0, 2, 1)                   # [K³, Cout, Cin]
     mirror_rows = jnp.flip(rows, axis=0)
-    if wt is None:
+    win_b = window if _window_bwd_on(window) else None
+    if wt is None or win_b is None:
         wt_m = None
     else:
         from .pallas_kernels import mirror_window_tables
 
         wt_m = mirror_window_tables(wt)
     d_feats = _conv_dispatch(
-        g, wT, mirror_rows, cdtype, identity_tap, window,
+        g, wT, mirror_rows, cdtype, identity_tap, win_b,
         wt_m).astype(feats.dtype)
     f16 = _append_zero_row(feats).astype(cdtype)
     d_w = _dw_per_tap(f16, rows, g, cdtype, w.dtype, identity_tap)
@@ -998,7 +1008,8 @@ def _pair_conv_bwd(static, res, g):
     )
     wT = w.transpose(0, 2, 1)
     d_feats = _conv_dispatch(
-        g, wT, rows_bwd, cdtype, None, window).astype(feats.dtype)
+        g, wT, rows_bwd, cdtype, None,
+        window if _window_bwd_on(window) else None).astype(feats.dtype)
     d_feats = d_feats * in_valid[:, None].astype(d_feats.dtype)
     f16 = _append_zero_row(feats).astype(cdtype)
     d_w = _dw_per_tap(f16, rows_fwd, g, cdtype, w.dtype)
