@@ -27,14 +27,17 @@ import numpy as np
 
 AV2_CFG = "/root/reference/projects/configs/Argoverse2/FSF_AV2_config.py"
 
-# Stage occupancies measured via --probe on the synthetic AV2 scene
-# (extent 190 m, 2-sweep dual-lidar scan model, 131k points): see
-# docs/performance.md "AV2 scale" — sized +~15% headroom, stage 0 rounded
-# to the 128k cap.
-STAGE_CAPS = (98304, 65536, 32768, 12288, 4096)
+# Stage occupancies measured via `--probe --caps 98304,163840,131072,98304,
+# 32768` (generous caps so no stage clips) on the synthetic AV2 scene
+# (extent 190 m, 2-sweep dual-lidar scan model, 131k points): TRUE counts
+# [47281, 101419, 119199, 73537] — the active set GROWS with depth on the
+# sparse [32,2048,2048] grid (3^3 dilation outruns the stride-2
+# coarsening). Caps are ~1.2x measured, rounded up to a multiple of 256
+# (window-conv eligibility); see docs/performance.md "AV2 scale".
+STAGE_CAPS = (57344, 122880, 143360, 88576, 32768)
 
 
-def build_av2_model(batch: int, probe: bool = False):
+def build_av2_model(batch: int, probe: bool = False, stage_caps=None):
     import jax
     import jax.numpy as jnp
 
@@ -47,8 +50,10 @@ def build_av2_model(batch: int, probe: bool = False):
     from fixtures import make_lidar_scene, make_camera_data, with_noaug_channels
     from fullysparsefusion_tpu.utils.containers import PointBatch
 
+    if stage_caps is None:
+        stage_caps = STAGE_CAPS
     caps = Capacities(
-        points=131072 * batch, voxels=STAGE_CAPS[0] * batch,
+        points=131072 * batch, voxels=stage_caps[0] * batch,
         prevox=98304 * batch, fg_per_group=4096 * batch,
         cluster_voxels_per_group=1024 * batch, clusters=1024 * batch,
         max_gt=128, frustum_points=16384 * batch,
@@ -58,7 +63,7 @@ def build_av2_model(batch: int, probe: bool = False):
     cfg = load_fsf_config(AV2_CFG, caps=caps)
     seg = dataclasses.replace(
         cfg.fsd.segmentor,
-        unet_stage_capacities=tuple(c * batch for c in STAGE_CAPS),
+        unet_stage_capacities=tuple(c * batch for c in stage_caps),
     )
     cfg = dataclasses.replace(
         cfg, fsd=dataclasses.replace(cfg.fsd, segmentor=seg))
@@ -158,7 +163,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--probe", action="store_true")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument(
+        "--caps", type=str, default=None,
+        help="comma-separated per-stage capacity override (probe with "
+             "generous caps to measure TRUE occupancy, since saturated "
+             "stages clip at their cap)")
     args = ap.parse_args()
+    stage_caps = (tuple(int(x) for x in args.caps.split(","))
+                  if args.caps else None)
 
     from bench import _wait_for_backend
     _wait_for_backend()
@@ -166,11 +178,12 @@ def main():
 
     batch = int(os.environ.get("FSF_BENCH_BATCH", 1))
     if args.probe:
-        cfg, _, _, pb, cam = build_av2_model(batch, probe=True)
+        cfg, _, _, pb, cam = build_av2_model(
+            batch, probe=True, stage_caps=stage_caps)
         probe_occupancy(cfg, pb, batch)
         return
 
-    cfg, model, vars_, pb, cam = build_av2_model(batch)
+    cfg, model, vars_, pb, cam = build_av2_model(batch, stage_caps=stage_caps)
 
     @jax.jit
     def fwd(vars_, pb, cam):

@@ -86,6 +86,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--scenes", type=int, default=3)
+    ap.add_argument("--held-scenes", type=int, default=1)
     ap.add_argument("--eval-every", type=int, default=50)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--scene-classes", type=int, default=3)
@@ -110,7 +111,7 @@ def main():
     batch = 2
     train_scenes = build_scenes(cfg, args.scenes, batch, seed0=7,
                                 scene_classes=args.scene_classes)
-    held_scenes = build_scenes(cfg, 1, batch, seed0=9000,
+    held_scenes = build_scenes(cfg, args.held_scenes, batch, seed0=9000,
                                scene_classes=args.scene_classes)
 
     model = FSF(cfg=cfg)
