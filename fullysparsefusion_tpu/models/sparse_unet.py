@@ -186,6 +186,15 @@ class SparseUNet(nn.Module):
         cap0 = st.capacity
         # per-pass window dispatch (see window_conv_train above)
         win = self.window_conv if (not train or self.window_conv_train) else None
+        if win is not None:
+            # The straddling-group count scales ~linearly with batch size
+            # (every sample seam splits tap-group runs, and capacities — and
+            # with them block counts — are provisioned per sample). A FIXED
+            # resid therefore trips the exact-fallback cond for every conv
+            # at batch ≥ 2: measured batch-2 UNet 163.7 ms ≈ 2× the
+            # gather-conv time (vs ~2×61 window expected) because n_grp >
+            # resid everywhere. Scale the residual budget per sample.
+            win = (win[0], win[1], win[2] * max(st.batch_size, 1)) + tuple(win[3:])
         # one x-triplet table + rulebook per stage, shared by every conv
         # touching that active set: the stage's submanifold convs (encoder +
         # decoder + final projection), the down-conv reading from it, and

@@ -247,3 +247,44 @@ def test_unet_rulebook_carries_window_tables(monkeypatch):
                              window=(64, 128, 64))
     ref = sc.subm_conv_apply(st.feats, st.valid, rb_p, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-6)
+
+
+def test_unet_scales_window_resid_with_batch(monkeypatch):
+    """The straddling-group count grows ~linearly with batch size (sample
+    seams split tap-group runs; block counts are provisioned per sample), so
+    SparseUNet must scale the spec's residual budget by batch_size — a fixed
+    resid trips the exact-fallback cond for EVERY conv at batch >= 2
+    (measured: batch-2 UNet 163.7 ms ~= the pure gather-conv time)."""
+    import fullysparsefusion_tpu.ops.sparse_conv as sc
+    import fullysparsefusion_tpu.models.sparse_unet as su
+
+    captured = []
+
+    def spy(st, t3=None, window=None):
+        captured.append(window)
+        return sc.build_subm_rulebook(st, t3=t3, window=None)
+
+    monkeypatch.setattr(su, "build_subm_rulebook", spy)
+    rng = np.random.default_rng(5)
+    cap = 128
+    coords = np.unique(
+        rng.integers(0, [8, 8, 4], (300, 3)).astype(np.int32), axis=0)
+    n = min(len(coords), 90)
+    st = sc.SparseTensor(
+        feats=jnp.asarray(rng.normal(0, 1, (cap, 8)).astype(np.float32)),
+        coords=jnp.asarray(np.concatenate(
+            [coords[:n], np.zeros((cap - n, 3), np.int32)])),
+        batch=jnp.asarray((np.arange(cap) % 2).astype(np.int32)),
+        valid=jnp.asarray(np.arange(cap) < n),
+        dims=(8, 8, 4), batch_size=2,
+    )
+    unet = su.SparseUNet(
+        base_channels=8, output_channels=8,
+        encoder_channels=((8,), (8,)), encoder_strided_paddings=((1, 1, 1),),
+        decoder_channels=((8, 8),), stage_capacity_divisors=(1, 2),
+        window_conv=(64, 128, 16, 0), window_conv_train=True,
+    )
+    unet.init(jax.random.key(0), st, False)
+    assert captured, "spy never called"
+    # resid (3rd element) scaled by batch_size=2; trailing bwd flag intact
+    assert all(w == (64, 128, 32, 0) for w in captured), captured

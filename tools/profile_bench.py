@@ -32,6 +32,7 @@ def main():
     from bench import build_bench_model
 
     cfg, model, vars_, pb, cam = build_bench_model()
+    batch = int(os.environ.get("FSF_BENCH_BATCH", 1))
 
     if args.stage in ("voxvfe", "unet"):
         import jax.numpy as jnp
@@ -82,6 +83,8 @@ def main():
             stage_capacity_divisors=sc.unet_capacity_divisors,
             stage_capacities=sc.unet_stage_capacities,
             dense_min_occupancy=args.dense_occ,
+            window_conv=sc.unet_window_conv,
+            window_conv_train=sc.unet_window_conv_train,
         )
         seg, _, vb, vc = jax.jit(lambda p: voxelize_points(
             p.xyz, p.batch_idx, p.valid, sc.voxel_size, sc.point_cloud_range,
@@ -92,7 +95,7 @@ def main():
         feats = jax.random.normal(rngk, (caps.voxels, sc.vfe_channels[-1]), jnp.float32)
         st0 = SparseTensor(
             feats=feats, coords=vc, batch=vb, valid=seg.seg_valid,
-            dims=dims, batch_size=1,
+            dims=dims, batch_size=batch,
         )
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
@@ -117,7 +120,7 @@ def main():
 
     def fn(vars_, pb, cam):
         out = model.apply(
-            vars_, pb, cam, 1, None, None, False, 0.0, 1.0, until,
+            vars_, pb, cam, batch, None, None, False, 0.0, 1.0, until,
             method=lambda m, *a: m(*a),
         )
         if until == "core":
