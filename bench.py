@@ -79,6 +79,45 @@ def _enable_compile_cache():
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
+def _cached_init(init_fn, key, *args):
+    """Run a flax ``init`` with an on-disk value cache.
+
+    Key = sha1 of the param pytree's (path, shape, dtype) signature from
+    ``jax.eval_shape`` — any config change that alters the parameter tree
+    misses; A/B knobs that only change dispatch (window spec, occupancy
+    thresholds) hit. Values are exact: init is deterministic given the key.
+    """
+    import hashlib
+
+    import jax
+
+    shapes = jax.eval_shape(init_fn, key, *args)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    sig = hashlib.sha1(
+        (repr(treedef)
+         + repr([(l.shape, str(l.dtype)) for l in leaves])).encode()
+    ).hexdigest()
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    path = os.path.join(cache_dir, f"params-{sig}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            vals = [z[f"a{i}"] for i in range(len(leaves))]
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [jax.numpy.asarray(v, dtype=l.dtype)
+             for v, l in zip(vals, leaves)],
+        )
+    vars_ = jax.jit(init_fn)(key, *args)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        flat = jax.tree_util.tree_leaves(vars_)
+        np.savez(path, **{f"a{i}": np.asarray(v) for i, v in enumerate(flat)})
+    except Exception as e:  # noqa: BLE001 — cache write is best-effort
+        print(f"# param cache write failed: {e}", file=sys.stderr)
+    return vars_
+
+
 def build_bench_model():
     import jax
     import jax.numpy as jnp
@@ -159,12 +198,19 @@ def build_bench_model():
     with jax.default_device(cpu):
         pb_cpu = jax.device_put(pb, cpu)
         cam_cpu = jax.device_put(cam, cpu)
-        vars_ = jax.jit(
-            lambda k, p, c: FSF(cfg=cfg).init(
+
+        def init_fn(k, p, c):
+            return FSF(cfg=cfg).init(
                 k, p, c, batch, None, None, False,
                 method=lambda m, *a, **k_: m(*a, **k_),
             )
-        )(jax.random.key(0), pb_cpu, cam_cpu)
+
+        # The init jit traces the FULL forward; XLA-compiling it on this
+        # 1-core host costs ~25 min, and the persistent XLA cache does not
+        # transfer across hosts (AOT feature mismatch). Params are
+        # deterministic (seed 0), so cache the VALUES on disk keyed by the
+        # param-tree shape signature (eval_shape — seconds, no compile).
+        vars_ = _cached_init(init_fn, jax.random.key(0), pb_cpu, cam_cpu)
     dev = jax.devices()[0]
     vars_ = jax.device_put(vars_, dev)
     pb = jax.device_put(pb, dev)

@@ -52,20 +52,25 @@ def _force_one_fg_per_sample(
     and :709-711): any sample whose group mask came up empty gets its first
     valid point forced to foreground, so early training (segmentor below
     threshold everywhere) still feeds each sample one cluster candidate.
-    Static-shape form: segment-min for each sample's first valid slot, then
-    a batch-size scatter — invalid rows can never be forced."""
+    Static-shape form: [B, n] masked reductions (batch_size is small and
+    static) — invalid rows can never be forced. Scatter-free on purpose:
+    the original segment_sum/segment_min/scatter form measured 4.98 ms for
+    the 6 group calls at bench scale (65k rows) — nearly half the fsd
+    group-gather band — because TPU scatters serialize per update row;
+    plain reductions over a [B, n] mask are HBM-passes (~0.1 ms)
+    (tools/microbench_compaction.py, 2026-08-20)."""
     n = fg.shape[0]
-    seg = jnp.where(valid, batch_idx, batch_size).clip(0, batch_size)
-    has_fg = (
-        jax.ops.segment_sum(fg.astype(jnp.int32), seg, batch_size + 1) > 0
-    )[:batch_size]
-    first = jax.ops.segment_min(
-        jnp.where(valid, jnp.arange(n), n), seg, batch_size + 1
-    )[:batch_size]
-    need = ~has_fg & (first < n)
-    return fg | jnp.zeros_like(fg).at[first.clip(0, n - 1)].max(
-        need, mode="drop"
-    )
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sample = batch_idx[None, :] == jnp.arange(
+        batch_size, dtype=batch_idx.dtype)[:, None]          # [B, n]
+    sv = sample & valid[None, :]
+    has_fg = jnp.any(sv & fg[None, :], axis=1)               # [B]
+    first = jnp.min(jnp.where(sv, iota[None, :], n), axis=1)  # [B]
+    force_slot = jnp.where(~has_fg & (first < n), first, -1)  # [B]
+    b_ok = (batch_idx >= 0) & (batch_idx < batch_size)
+    forced = valid & b_ok & (
+        force_slot[batch_idx.clip(0, batch_size - 1)] == iota)
+    return fg | forced
 
 
 def group_sample(

@@ -3,7 +3,16 @@
 ``masked_gather`` is the TPU replacement for boolean-mask indexing
 (``data[mask]`` everywhere in the reference): it moves up to ``capacity``
 masked rows to the front of a fixed-size output, preserving order, with a
-validity mask for the tail. One stable sort, no data-dependent shapes.
+validity mask for the tail. No data-dependent shapes.
+
+Implementation: one stable argsort. MEASURED NEGATIVE (2026-08-20,
+tools/microbench_compaction.py + tools/profile_fsd.py — do not retry): the
+sort-free form (MXU mark prefix-sum + vectorized ``searchsorted``) is
+2.4× SLOWER on v5e (6× [65k]→4096 compactions: 3.94 ms vs 1.63 sorted;
+RoI [262k]→32768: +5.8 ms) — searchsorted's log2(n) scan rounds of
+``capacity``-lane gathers lose to one well-tiled sort, and the fsd
+group-gather band's cost was never the sort anyway (it was the
+``_force_one_fg_per_sample`` segment scatters, models/fsd.py).
 """
 from __future__ import annotations
 
