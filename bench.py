@@ -83,9 +83,14 @@ def _cached_init(init_fn, key, *args):
     """Run a flax ``init`` with an on-disk value cache.
 
     Key = sha1 of the param pytree's (path, shape, dtype) signature from
-    ``jax.eval_shape`` — any config change that alters the parameter tree
-    misses; A/B knobs that only change dispatch (window spec, occupancy
+    ``jax.eval_shape`` PLUS the PRNG key material and a cache-version salt
+    (ADVICE r4: shape-only keys silently returned stale params after a seed
+    or initializer change) — any config change that alters the parameter
+    tree misses; A/B knobs that only change dispatch (window spec, occupancy
     thresholds) hit. Values are exact: init is deterministic given the key.
+    Writes are atomic (temp file + ``os.replace``) and loads fall back to
+    recomputation on any corruption (a killed bench mid-``savez`` must not
+    poison every later run).
     """
     import hashlib
 
@@ -93,26 +98,52 @@ def _cached_init(init_fn, key, *args):
 
     shapes = jax.eval_shape(init_fn, key, *args)
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    key_mat = np.asarray(jax.random.key_data(key)).tolist()
     sig = hashlib.sha1(
-        (repr(treedef)
+        ("params-cache-v2"
+         + repr(key_mat)
+         + repr(treedef)
          + repr([(l.shape, str(l.dtype)) for l in leaves])).encode()
     ).hexdigest()
     cache_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     path = os.path.join(cache_dir, f"params-{sig}.npz")
+    if not os.path.exists(path):
+        # one-time migration: pre-v2 files were keyed by shape signature
+        # alone; they were all produced with jax.random.key(0) (the only key
+        # bench ever used), so for that key the cached values are identical
+        legacy_sig = hashlib.sha1(
+            (repr(treedef)
+             + repr([(l.shape, str(l.dtype)) for l in leaves])).encode()
+        ).hexdigest()
+        legacy = os.path.join(cache_dir, f"params-{legacy_sig}.npz")
+        if key_mat == np.asarray(
+                jax.random.key_data(jax.random.key(0))).tolist() \
+                and os.path.exists(legacy):
+            try:
+                os.replace(legacy, path)
+            except OSError:
+                pass
     if os.path.exists(path):
-        with np.load(path) as z:
-            vals = [z[f"a{i}"] for i in range(len(leaves))]
-        return jax.tree_util.tree_unflatten(
-            treedef,
-            [jax.numpy.asarray(v, dtype=l.dtype)
-             for v, l in zip(vals, leaves)],
-        )
+        try:
+            with np.load(path) as z:
+                vals = [z[f"a{i}"] for i in range(len(leaves))]
+            return jax.tree_util.tree_unflatten(
+                treedef,
+                [jax.numpy.asarray(v, dtype=l.dtype)
+                 for v, l in zip(vals, leaves)],
+            )
+        except Exception as e:  # noqa: BLE001 — fall through to re-init
+            print(f"# param cache load failed ({e}); re-initializing",
+                  file=sys.stderr)
     vars_ = jax.jit(init_fn)(key, *args)
     try:
         os.makedirs(cache_dir, exist_ok=True)
         flat = jax.tree_util.tree_leaves(vars_)
-        np.savez(path, **{f"a{i}": np.asarray(v) for i, v in enumerate(flat)})
+        # must end in .npz or np.savez appends the suffix itself
+        tmp = path + f".tmp{os.getpid()}.npz"
+        np.savez(tmp, **{f"a{i}": np.asarray(v) for i, v in enumerate(flat)})
+        os.replace(tmp, path)
     except Exception as e:  # noqa: BLE001 — cache write is best-effort
         print(f"# param cache write failed: {e}", file=sys.stderr)
     return vars_
@@ -316,6 +347,10 @@ def main():
                 "detail": {
                     "ms_per_frame": round(dt * 1000, 1),
                     "compile_s": round(compile_s, 1),
+                    # vs_baseline divisor is an ESTIMATE (no A100 here to
+                    # measure): self-describe it so the number is auditable
+                    "a100_fps_estimate": A100_FPS_ESTIMATE,
+                    "scene": "synthetic-occupancy-matched",
                     "device": str(jax.devices()[0]),
                     "points_capacity": 131072 * batch,
                     "batch": batch,

@@ -101,7 +101,10 @@ def ccl_sweeps_pallas(
 # (batch, z, y, x), so the 3 dx taps sharing one (dz, dy) read from a
 # CONTIGUOUS slot window around the (dz, dy)-shifted position (the x-run
 # of that neighbor y-row, spanning the block's own x-range). This kernel
-# DMAs those nine windows per output block (bulk, bandwidth-rate) and
+# DMAs one [2W, Cin] window per (output block, tap group) — nine per block,
+# DOUBLE-BUFFERED so block i+1's DMAs overlap block i's matmuls (the
+# round-4 form waited on its DMAs every block; at ~15 µs of exposed DMA
+# latency × 224 blocks that was most of the kernel's 3.2 ms) — and
 # realizes each tap's within-window gather as a one-hot matmul on the MXU:
 #
 #   out[j] += Σ_k (iota == local_k[j]) @ window_{k//3}(j-block) @ w[k]
@@ -110,38 +113,54 @@ def ccl_sweeps_pallas(
 # so no mask multiplies are needed. Window starts are per-block minima
 # (16-row aligned for Mosaic's DMA tiling rule), window size W is a static
 # capacity like every other set bound in this framework. Hits falling
-# outside BOTH windows (a handful of blocks straddle z-plane / sample
-# boundaries, splitting a tap group's hits into 3+ distant runs — measured
-# floor ~650 at any W on the bench scene's stage 0) are repaired EXACTLY
-# by an XLA-side residual pass: compact the straddling (tap-group, block)
-# pairs to a static capacity `resid`, re-gather their rows, and scatter-add
-# the masked contributions back in one batched matmul. Only residual-
-# capacity overflow (straddling groups > resid) remains a capacity
-# condition — size `resid` so FSF_DEBUG_WINDOW=1 runs stay clean.
+# outside the window (a handful of blocks straddle z-plane / sample
+# boundaries, splitting a tap group's hits into runs spanning > 2W slots)
+# are repaired EXACTLY by an XLA-side residual pass: compact the
+# straddling (tap-group, block) pairs to a static capacity `resid`,
+# re-gather their rows, and scatter-add the masked contributions back in
+# one batched matmul. Only residual-capacity overflow (straddling groups >
+# resid) remains a capacity condition — size `resid` so
+# FSF_DEBUG_WINDOW=1 runs stay clean.
 
 
 def _wg_conv_kernel(feats_hbm, lrows_ref, starts_ref, w_ref, out_ref,
                     win, sems, *, w_size: int, blk: int, cin: int,
                     cout: int, k3: int, ngrp: int):
     i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+
     # starts are stored PRE-DIVIDED by 16 and re-multiplied here: Mosaic
     # must *prove* the dynamic slice start divisible by the (8,128) row
     # tiling, and its affine analysis sees through x*16 but not an SMEM load
-    # starts is FLAT [nblk*ngrp*2] in SMEM: multi-dim SMEM arrays pad the
+    # starts is FLAT [nblk*ngrp] in SMEM: multi-dim SMEM arrays pad the
     # minor dims to (8, 128) sublanes/lanes and blow the 1 MB SMEM budget
-    copies = [
-        pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(starts_ref[(i * ngrp + g) * 2 + h] * 16,
-                               w_size), :],
-            win.at[g, h], sems.at[g, h],
+    def copy(b, s, g):
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(starts_ref[b * ngrp + g] * 16, 2 * w_size), :],
+            win.at[s, g], sems.at[s, g],
         )
-        for g in range(ngrp)
-        for h in range(2)
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    # DOUBLE BUFFERING: block i's windows were started by iteration i−1
+    # (i=0 starts its own); start block i+1's into the other slot BEFORE
+    # computing, so the nine DMAs overlap this block's 27 matmuls. The
+    # round-3/4 form waited on 18 fresh DMAs every block with zero overlap —
+    # per-block DMA latency (~15 µs × nblk) was the kernel's dominant cost.
+    @pl.when(i == 0)
+    def _():
+        for g in range(ngrp):
+            copy(0, 0, g).start()
+
+    @pl.when(i + 1 < nblk)
+    def _():
+        for g in range(ngrp):
+            copy(i + 1, nxt, g).start()
+
+    for g in range(ngrp):
+        copy(i, slot, g).wait()
+
     iota = jax.lax.broadcasted_iota(
         jnp.int32, (blk, 2 * w_size), 1).astype(jnp.float32)
     acc = jnp.zeros((blk, cout), jnp.float32)
@@ -150,9 +169,8 @@ def _wg_conv_kernel(feats_hbm, lrows_ref, starts_ref, w_ref, out_ref,
         # float-compare one-hot (i1 tiles trip Mosaic relayouts — same
         # pattern as _ccl_kernel); miss/out-of-window is -1 → all-zero row
         oh = (jnp.abs(iota - l[:, None]) < 0.5).astype(jnp.bfloat16)
-        # both windows of the tap's group stacked: local ∈ [0, W) hits the
-        # low window, [W, 2W) the high one
-        pair = win[k // (k3 // ngrp)].reshape(2 * w_size, cin)
+        # the tap group's single [2W, cin] window: local ∈ [0, 2W)
+        pair = win[slot, k // (k3 // ngrp)]
         g = jnp.dot(oh, pair.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)       # [blk, cin]
         acc = acc + jnp.dot(g.astype(jnp.bfloat16), w_ref[k],
@@ -160,22 +178,81 @@ def _wg_conv_kernel(feats_hbm, lrows_ref, starts_ref, w_ref, out_ref,
     out_ref[:] = acc
 
 
+def _wg_conv_kernel_p2(feats_hbm, lrows_ref, starts_ref, w_ref, out_ref,
+                       win, sems, *, w_size: int, blk: int, cin: int,
+                       cout: int, k3: int, ngrp: int):
+    """Lane-packed variant for cin == 64: two consecutive slots share one
+    128-lane row ([cap, 64] viewed as [cap/2, 128]), so each window DMA
+    moves w_size packed rows covering 2·w_size slots with NO zero-lane
+    padding, and the one-hot runs over w_size columns instead of 2·w_size —
+    half the DMA bytes and half the gather MACs of the padded form. The
+    half-select (even/odd slot) is two static lane slices + an arithmetic
+    blend on the VPU."""
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+
+    def copy(b, s, g):
+        # starts are lo/16 with lo 32-aligned → lo/2 = starts·8 is 16-row
+        # aligned; Mosaic's affine analysis can't see the evenness of the
+        # SMEM value, so assert it
+        start = pl.multiple_of(starts_ref[b * ngrp + g] * 8, 16)
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start, w_size), :], win.at[s, g],
+            sems.at[s, g],
+        )
+
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(ngrp):
+            copy(0, 0, g).start()
+
+    @pl.when(i + 1 < nblk)
+    def _():
+        for g in range(ngrp):
+            copy(i + 1, nxt, g).start()
+
+    for g in range(ngrp):
+        copy(i, slot, g).wait()
+
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (blk, w_size), 1).astype(jnp.float32)
+    acc = jnp.zeros((blk, cout), jnp.float32)
+    for k in range(k3):
+        l = lrows_ref[k, :]                                   # [blk] i32
+        lp = (l // 2).astype(jnp.float32)                     # -1 → -1
+        half = (l - 2 * (l // 2)).astype(jnp.float32)         # 0/1
+        oh = (jnp.abs(iota - lp[:, None]) < 0.5).astype(jnp.bfloat16)
+        pair = win[slot, k // (k3 // ngrp)]                   # [W, 2cin]
+        g2 = jnp.dot(oh, pair.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)      # [blk, 2cin]
+        hf = half[:, None]
+        g = g2[:, :cin] * (1.0 - hf) + g2[:, cin:] * hf       # [blk, cin]
+        acc = acc + jnp.dot(g.astype(jnp.bfloat16), w_ref[k],
+                            preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+
 def window_starts(rows: jax.Array, cap: int, blk: int, w_size: int,
                   ngrp: int = 9):
-    """Per-(block, tap-group) DUAL window starts + in-window local rows.
+    """Per-(block, tap-group) window start + in-window local rows.
 
     Tap groups are runs of ``k3 // ngrp`` consecutive taps — with the
     z-major (dz, dy, dx) tap order, ``ngrp=9`` groups the 3 dx taps of one
     (dz, dy), whose hits live in a contiguous x-run of the neighbor y-row.
-    Each group gets TWO windows: one anchored at its lowest hit, one ending
-    at its highest — an output block straddling a z-plane (or sample)
-    boundary splits a group's hits into two distant runs, which a single
-    window can never cover (measured floor ~1k dropped hits at any W).
+    Each group gets ONE window of 2·w_size rows anchored at its lowest hit.
+    (Round 3/4 used two w_size windows — one at the lowest hit, one ending
+    at the highest; for hit spans ≤ 2·w_size the two overlap into exactly
+    the contiguous range a single 2W window covers, so the dual form bought
+    nothing but a second DMA per group. Spans > 2·w_size — blocks straddling
+    z-plane/sample boundaries — fall to the residual repair either way.)
 
-    rows: [27, cap] rulebook (miss → cap). Returns (starts [nblk, ngrp, 2]
-    i32 PRE-DIVIDED by 16, lrows [nblk, 27, blk] i32 — local ∈ [0, W) for
-    the low window, [W, 2W) for the high, -1 for miss/out-of-both,
-    oob [k3, n] bool — real hits in neither window, repaired exactly by
+    rows: [27, cap] rulebook (miss → cap). Returns (starts [nblk, ngrp]
+    i32 PRE-DIVIDED by 16, lrows [nblk, 27, blk] i32 — local ∈ [0, 2W),
+    -1 for miss/out-of-window,
+    oob [k3, n] bool — real hits outside the window, repaired exactly by
     ``window_gather_conv``'s residual pass up to its static capacity).
     """
     k3, n = rows.shape
@@ -185,22 +262,18 @@ def window_starts(rows: jax.Array, cap: int, blk: int, w_size: int,
     hit = per_g != cap
     masked = jnp.where(hit, per_g, big)
     # Mosaic requires dynamic-slice starts on (8,128)-tiled memrefs to be
-    # tile-aligned (bf16 packs 2 rows/sublane → align 16); the clip bound
-    # too. The ≤15-row slack this eats is covered by the overflow probe.
-    bound = max(cap + 1 - w_size, 0) // 16 * 16
-    lo = ((masked.min(axis=(1, 3)) // 16) * 16).clip(0, bound)  # [ngrp, nblk]
-    end = jnp.where(hit, per_g, -1).max(axis=(1, 3))
-    hi = jnp.maximum((end + 1 - w_size + 15) // 16 * 16, lo).clip(0, bound)
+    # tile-aligned (bf16 packs 2 rows/sublane → align 16); 32-alignment so
+    # the cin=64 lane-packed kernel's halved starts stay 16-aligned too
+    # (same tables serve every conv on the rulebook regardless of cin).
+    # The ≤31-row slack this eats is covered by the overflow probe.
+    bound = max(cap + 1 - 2 * w_size, 0) // 32 * 32
+    lo = ((masked.min(axis=(1, 3)) // 32) * 32).clip(0, bound)  # [ngrp, nblk]
     l1 = per_g - lo[:, None, :, None]
-    l2 = per_g - hi[:, None, :, None]
-    in1 = hit & (l1 >= 0) & (l1 < w_size)
-    in2 = hit & (l2 >= 0) & (l2 < w_size)
-    lrows = jnp.where(in1, l1, jnp.where(in2, w_size + l2, -1))
-    lrows = lrows.astype(jnp.int32)
+    in1 = hit & (l1 >= 0) & (l1 < 2 * w_size)
+    lrows = jnp.where(in1, l1, -1).astype(jnp.int32)
     lrows = lrows.reshape(k3, nblk, blk).transpose(1, 0, 2)   # [nblk, 27, blk]
-    starts = jnp.stack([lo, hi], axis=-1).astype(jnp.int32)   # [ngrp, nblk, 2]
-    oob = (hit & ~in1 & ~in2).reshape(k3, n)
-    return (starts // 16).transpose(1, 0, 2), lrows, oob
+    oob = (hit & ~in1).reshape(k3, n)
+    return (lo // 16).transpose(1, 0).astype(jnp.int32), lrows, oob
 
 
 def straddle_group_count(oob: jax.Array, blk: int, ngrp: int = 9) -> jax.Array:
@@ -223,7 +296,7 @@ class WindowTables(NamedTuple):
     all of this per conv, which is where the microbench-winning kernel lost
     its margin end-to-end (docs/performance.md round-4 A/B)."""
 
-    starts16: jax.Array  # [nblk, ngrp, 2] window starts, pre-divided by 16
+    starts16: jax.Array  # [nblk, ngrp] window starts, pre-divided by 16
     lrows: jax.Array     # [nblk, k3, blk] in-window local rows (-1 miss)
     n_grp: jax.Array     # scalar i32: straddling (tap-group, block) pairs
     rep_ok: jax.Array    # [R] f32 1/0 — repair slot occupied
@@ -270,7 +343,7 @@ def mirror_window_tables(t: WindowTables, ngrp: int = 9) -> WindowTables:
     g_m = (ngrp - 1) - g_r
     taps_m = g_m[:, None] * tpg + jnp.arange(tpg, dtype=jnp.int32)[None, :]
     return WindowTables(
-        starts16=t.starts16[:, ::-1, :],
+        starts16=t.starts16[:, ::-1],
         lrows=t.lrows[:, ::-1, :],
         n_grp=t.n_grp,
         rep_ok=t.rep_ok,
@@ -308,19 +381,38 @@ def window_gather_conv(
     wt = (tables if tables is not None
           else build_window_tables(rows, cap, blk, w_size, resid, ngrp))
     starts16, lrows = wt.starts16, wt.lrows
-    # Mosaic's memref_slice needs the minor dim 128-lane aligned (a 64-wide
-    # window slice is rejected even from HBM) — pad Cin to the lane multiple;
-    # zero weight rows keep the math exact at 2× DMA for the 64-ch stage
-    cin_p = -(-cin // 128) * 128
-    if cin_p != cin:
-        feats = jnp.pad(feats, ((0, 0), (0, cin_p - cin)))
-        w = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, 0)))
-        cin = cin_p
-    feats_z = jnp.concatenate(
-        [feats, jnp.zeros((max(w_size - cap, 0) + 1, cin), feats.dtype)])
-    kern = functools.partial(
-        _wg_conv_kernel, w_size=w_size, blk=blk, cin=cin, cout=cout, k3=k3,
-        ngrp=ngrp)
+    # cin == 64 takes the LANE-PACKED kernel: two consecutive slots per
+    # 128-lane row — half the DMA bytes and half the one-hot MACs of
+    # padding 64 → 128 (the stage-0 convs are the biggest active set).
+    # Requires an even slot count (cap % blk == 0 upstream) and w_size ≥ 32
+    # packed rows so the 16-row DMA alignment has room.
+    pack2 = cin == 64 and cap % 2 == 0 and w_size >= 32
+    if pack2:
+        pad = max(2 * w_size - cap, 0) + 2
+        feats_z = jnp.concatenate(
+            [feats, jnp.zeros((pad, cin), feats.dtype)])
+        feats_dma = feats_z[: (feats_z.shape[0] // 2) * 2].reshape(-1, 2 * cin)
+        kern = functools.partial(
+            _wg_conv_kernel_p2, w_size=w_size, blk=blk, cin=cin, cout=cout,
+            k3=k3, ngrp=ngrp)
+        win_shape = (2, ngrp, w_size, 2 * cin)
+    else:
+        # Mosaic's memref_slice needs the minor dim 128-lane aligned (a
+        # 64-wide window slice is rejected even from HBM) — pad Cin to the
+        # lane multiple; zero weight rows keep the math exact
+        cin_p = -(-cin // 128) * 128
+        if cin_p != cin:
+            feats = jnp.pad(feats, ((0, 0), (0, cin_p - cin)))
+            w = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, 0)))
+            cin = cin_p
+        feats_z = jnp.concatenate(
+            [feats,
+             jnp.zeros((max(2 * w_size - cap, 0) + 1, cin), feats.dtype)])
+        feats_dma = feats_z
+        kern = functools.partial(
+            _wg_conv_kernel, w_size=w_size, blk=blk, cin=cin, cout=cout,
+            k3=k3, ngrp=ngrp)
+        win_shape = (2, ngrp, 2 * w_size, cin)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nblk,),
@@ -337,8 +429,10 @@ def window_gather_conv(
         ],
         out_specs=pl.BlockSpec((blk, cout), lambda i: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((ngrp, 2, w_size, cin), feats.dtype),
-            pltpu.SemaphoreType.DMA((ngrp, 2)),
+            # two buffer slots (double buffering): block i+1's nine window
+            # DMAs land in slot (i+1)%2 while block i computes from slot i%2
+            pltpu.VMEM(win_shape, feats.dtype),
+            pltpu.SemaphoreType.DMA((2, ngrp)),
         ],
     )
     out = pl.pallas_call(
@@ -346,7 +440,7 @@ def window_gather_conv(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
         interpret=interpret,
-    )(feats_z, lrows, starts16.reshape(-1), w.astype(jnp.bfloat16))
+    )(feats_dma, lrows, starts16.reshape(-1), w.astype(jnp.bfloat16))
     if resid > 0:
         # Exact residual repair for out-of-window hits, at BLOCK-GROUP
         # granularity: only a handful of (tap-group, block) pairs straddle

@@ -95,6 +95,37 @@ def unique_segments(keys: jax.Array, valid: jax.Array, capacity: int) -> Segment
     )
 
 
+def unique_keys_sorted(keys: jax.Array, valid: jax.Array, capacity: int):
+    """Sorted unique keys only — no seg_id, no counts.
+
+    ``unique_segments`` pays for an argsort (a two-operand key+iota variadic
+    sort), a random-index inverse scatter for ``seg_id``, and a counts
+    segment-sum; callers that only need the ascending unique key set (the
+    strided-conv output active sets, ops/sparse_conv.downsample_coords —
+    ~8·cap candidate keys per UNet strided conv) skip all three: one
+    KEY-ONLY ``lax.sort``, boundary marks, the MXU prefix-sum rank
+    (:func:`cumsum_marks`), and a single scatter into the capacity table.
+    Same ordering semantics as ``unique_segments`` (ascending keys,
+    overflow → dropped past ``capacity``).
+
+    Returns ``(unique_keys [capacity] int32, seg_valid [capacity] bool,
+    num_segments [] int32)``.
+    """
+    keys = keys.astype(jnp.int32)
+    masked = jnp.where(valid, keys, INVALID_KEY)
+    (ks,) = jax.lax.sort((masked,))
+    ok = ks != INVALID_KEY
+    first = jnp.concatenate([ok[:1], (ks[1:] != ks[:-1]) & ok[1:]])
+    incl = cumsum_marks(first)                     # [n] inclusive rank+1
+    num_segments = incl[-1]
+    ranks = incl - 1
+    slot = jnp.where(first & (ranks < capacity), ranks, capacity)
+    unique_keys = (
+        jnp.full((capacity + 1,), INVALID_KEY, jnp.int32).at[slot].set(ks)
+    )[:capacity]
+    return unique_keys, unique_keys != INVALID_KEY, num_segments
+
+
 _CUMSUM_LANE = 512
 _CUMSUM_BASE = 4096   # below this, plain jnp.cumsum is fine
 

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from .segment import unique_segments, unique_segments_dense, INVALID_KEY
+from .segment import (
+    unique_segments_dense, unique_keys_sorted, INVALID_KEY)
 
 
 @struct.dataclass
@@ -778,9 +779,13 @@ def downsample_coords(
     cells = st.batch_size * nx * ny * nz
     if _use_dense_unique(cells):
         seg = unique_segments_dense(keys, oks, cells, out_capacity)
+        uniq, seg_valid = seg.unique_keys, seg.seg_valid
     else:
-        seg = unique_segments(keys, oks, out_capacity)
-    safe = jnp.where(seg.seg_valid, seg.unique_keys, 0)
+        # only the sorted unique key set is needed — skip the argsort's
+        # iota payload, the seg_id inverse scatter, and the counts
+        # segment-sum that the full unique_segments pays for
+        uniq, seg_valid, _ = unique_keys_sorted(keys, oks, out_capacity)
+    safe = jnp.where(seg_valid, uniq, 0)
     # delinearize against out_dims
     x = safe % nx
     rest = safe // nx
@@ -789,7 +794,7 @@ def downsample_coords(
     z = rest % nz
     bb = rest // nz
     out_coords = jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
-    return out_coords, bb.astype(jnp.int32), seg.seg_valid, out_dims
+    return out_coords, bb.astype(jnp.int32), seg_valid, out_dims
 
 
 def _pair_rows_mul_triplets(

@@ -118,6 +118,16 @@ def test_group_sample_forces_one_fg_per_sample():
         batch_idx=batch_idx, batch_size=2)
     for m in masks2:
         assert int(np.asarray(m)[32:].sum()) == 0
+    # out-of-range batch_idx rows are EXCLUDED from forcing (ADVICE r4:
+    # pins the r4 rewrite's semantics — the old segment form clipped
+    # negatives into sample 0; the new per-sample mask matches nothing)
+    bad_batch = batch_idx.at[0].set(-1).at[33].set(2)
+    masks3, _ = group_sample(
+        logits, offsets, xyz, valid, cfg, batch_idx=bad_batch, batch_size=2)
+    for m in masks3:
+        m = np.asarray(m)
+        assert not m[0] and not m[33]          # bad rows never forced
+        assert m[:32].sum() == 1 and m[32:].sum() == 1  # next valid row wins
 
 
 def test_cluster_one_group_two_blobs():

@@ -156,3 +156,27 @@ def test_cumsum_marks_exact(n):
     marks = (rng.random(n) < 0.37).astype(np.int8)
     got = np.asarray(jax.jit(cumsum_marks)(jnp.asarray(marks)))
     np.testing.assert_array_equal(got, np.cumsum(marks.astype(np.int64)))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_unique_keys_sorted_matches_unique_segments(seed):
+    """The keys-only fast path (no seg_id/counts) must agree with the full
+    unique_segments on keys, validity, and count — incl. overflow-drop."""
+    from fullysparsefusion_tpu.ops.segment import unique_keys_sorted
+
+    rng = np.random.default_rng(seed)
+    n = 4099 + seed  # > _CUMSUM_BASE so the MXU prefix-sum level runs
+    cap = 48
+    keys = rng.integers(0, 70, size=n).astype(np.int32)
+    valid = rng.random(n) > 0.3
+    uniq, seg_valid, num = jax.jit(
+        unique_keys_sorted, static_argnums=2)(
+        jnp.asarray(keys), jnp.asarray(valid), cap)
+    ref = unique_segments(jnp.asarray(keys), jnp.asarray(valid), cap)
+    np.testing.assert_array_equal(np.asarray(uniq), np.asarray(ref.unique_keys))
+    np.testing.assert_array_equal(np.asarray(seg_valid), np.asarray(ref.seg_valid))
+    assert int(num) == int(ref.num_segments)
+    # no valid keys at all
+    uniq0, sv0, num0 = unique_keys_sorted(
+        jnp.asarray(keys), jnp.zeros(n, bool), cap)
+    assert int(num0) == 0 and not bool(np.any(np.asarray(sv0)))

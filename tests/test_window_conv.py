@@ -69,13 +69,11 @@ def test_window_starts_overflow_probe_and_residual_repair():
     fz = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]), feats.dtype)])
     ref = jnp.zeros((feats.shape[0], w.shape[-1]), jnp.float32)
     l32 = lrows.transpose(1, 0, 2).reshape(27, -1)
-    # starts: [nblk, ngrp, 2] /16 — local ∈ [0, W) low window, [W, 2W) high
-    s_lo = jnp.repeat(starts[:, :, 0].T * 16, 128, axis=1)   # [9, cap]
-    s_hi = jnp.repeat(starts[:, :, 1].T * 16, 128, axis=1)
+    # starts: [nblk, ngrp] /16 — one 2W window per group, local ∈ [0, 2W)
+    s_lo = jnp.repeat(starts.T * 16, 128, axis=1)            # [9, cap]
     for k in range(27):
         l = l32[k]
-        base = jnp.where(l < 32, s_lo[k // 3] + l, s_hi[k // 3] + (l - 32))
-        eff = jnp.where(l >= 0, base, cap)
+        eff = jnp.where(l >= 0, s_lo[k // 3] + l, cap)
         ref = ref + jnp.dot(fz[eff], w[k], preferred_element_type=jnp.float32)
     np.testing.assert_allclose(np.asarray(got0), np.asarray(ref), atol=0)
 
@@ -288,3 +286,16 @@ def test_unet_scales_window_resid_with_batch(monkeypatch):
     assert captured, "spy never called"
     # resid (3rd element) scaled by batch_size=2; trailing bwd flag intact
     assert all(w == (64, 128, 32, 0) for w in captured), captured
+
+
+@pytest.mark.parametrize("w_size", [64, 256])
+def test_window_gather_conv_lane_packed_cin64(w_size):
+    """cin=64 takes the lane-packed kernel (two slots per 128-lane row);
+    must match the plain gather oracle exactly, incl. misses, odd/even slot
+    selection, and the residual-repair path at narrow windows."""
+    rows, feats, w = _mk(7, cap=512, blk=128, cin=64, cout=32, band=50)
+    got = window_gather_conv(feats, rows, w, w_size=w_size, blk=128,
+                             resid=36, interpret=True)
+    ref = _oracle(feats, rows, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-5)

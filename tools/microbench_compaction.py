@@ -53,13 +53,13 @@ def main():
     def timeit(name, fn, *args, iters=30):
         jfn = jax.jit(fn)
         r = jfn(*args)
-        np.asarray(jax.tree_util.tree_leaves(r)[0]).reshape(-1)[:1]
+        np.asarray(jax.tree_util.tree_leaves(r)[0].reshape(-1)[:1])
         r = jfn(*args)
-        np.asarray(jax.tree_util.tree_leaves(r)[0]).reshape(-1)[:1]
+        np.asarray(jax.tree_util.tree_leaves(r)[0].reshape(-1)[:1])
         t0 = time.time()
         for _ in range(iters):
             r = jfn(*args)
-        np.asarray(jax.tree_util.tree_leaves(r)[0]).reshape(-1)[:1]
+        np.asarray(jax.tree_util.tree_leaves(r)[0].reshape(-1)[:1])
         print(f"{name}: {(time.time()-t0)/iters*1000:.2f} ms", flush=True)
 
     def mg_sort(mask):

@@ -78,12 +78,12 @@ def main():
     def timeit(name, fn, *a):
         t0 = time.time()
         r = fn(*a)
-        np.asarray(jax.tree_util.tree_leaves(r)[0]).reshape(-1)[:1]
+        np.asarray(jax.tree_util.tree_leaves(r)[0].reshape(-1)[:1])
         c = time.time() - t0
         t0 = time.time()
         for _ in range(args.iters):
             r = fn(*a)
-        np.asarray(jax.tree_util.tree_leaves(r)[0]).reshape(-1)[:1]
+        np.asarray(jax.tree_util.tree_leaves(r)[0].reshape(-1)[:1])
         print(f"{name:12s} {(time.time()-t0)/args.iters*1000:7.2f} ms  "
               f"(compile {c:.0f}s)")
 

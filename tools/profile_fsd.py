@@ -45,14 +45,14 @@ def _timeit(name, fn, *args, iters=10):
     jfn = jax.jit(fn)
     t0 = time.time()
     r = jfn(*args)
-    np.asarray(jax.tree_util.tree_leaves(r)[0])[:1]
+    np.asarray(jax.tree_util.tree_leaves(r)[0].reshape(-1)[:1])
     print(f"{name}: compile {time.time() - t0:.1f}s", flush=True)
     r = jfn(*args)
-    np.asarray(jax.tree_util.tree_leaves(r)[0])[:1]
+    np.asarray(jax.tree_util.tree_leaves(r)[0].reshape(-1)[:1])
     t0 = time.time()
     for _ in range(iters):
         r = jfn(*args)
-    np.asarray(jax.tree_util.tree_leaves(r)[0])[:1]
+    np.asarray(jax.tree_util.tree_leaves(r)[0].reshape(-1)[:1])
     ms = (time.time() - t0) / iters * 1000
     print(f"{name}: {ms:.2f} ms", flush=True)
     return ms

@@ -66,12 +66,12 @@ def main():
     def timeit(name, jfn, *a):
         t0 = time.time()
         r = jfn(*a)
-        np.asarray(jax.tree_util.tree_leaves(r)[0]).reshape(-1)[:1]
+        np.asarray(jax.tree_util.tree_leaves(r)[0].reshape(-1)[:1])
         print(f"part={name} compile {time.time()-t0:.1f}s")
         t0 = time.time()
         for _ in range(args.iters):
             r = jfn(*a)
-        np.asarray(jax.tree_util.tree_leaves(r)[0]).reshape(-1)[:1]
+        np.asarray(jax.tree_util.tree_leaves(r)[0].reshape(-1)[:1])
         print(f"part={name} run {(time.time()-t0)/args.iters*1000:.1f} ms")
 
     if args.part == "rulebook":
