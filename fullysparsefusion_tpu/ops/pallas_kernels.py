@@ -17,6 +17,7 @@ Both have XLA fallbacks (interpret=True under tests / non-TPU backends).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -125,9 +126,11 @@ def ccl_sweeps_pallas(
 
 def _wg_conv_kernel(feats_hbm, lrows_ref, starts_ref, w_ref, out_ref,
                     win, sems, *, w_size: int, blk: int, cin: int,
-                    cout: int, k3: int, ngrp: int):
+                    cout: int, k3: int, ngrp: int, hier: bool = False,
+                    wrows: int = 0):
     i = pl.program_id(0)
     nblk = pl.num_programs(0)
+    wrows = wrows or 2 * w_size
 
     # starts are stored PRE-DIVIDED by 16 and re-multiplied here: Mosaic
     # must *prove* the dynamic slice start divisible by the (8,128) row
@@ -136,7 +139,7 @@ def _wg_conv_kernel(feats_hbm, lrows_ref, starts_ref, w_ref, out_ref,
     # minor dims to (8, 128) sublanes/lanes and blow the 1 MB SMEM budget
     def copy(b, s, g):
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(starts_ref[b * ngrp + g] * 16, 2 * w_size), :],
+            feats_hbm.at[pl.ds(starts_ref[b * ngrp + g] * 16, wrows), :],
             win.at[s, g], sems.at[s, g],
         )
 
@@ -161,20 +164,49 @@ def _wg_conv_kernel(feats_hbm, lrows_ref, starts_ref, w_ref, out_ref,
     for g in range(ngrp):
         copy(i, slot, g).wait()
 
-    iota = jax.lax.broadcasted_iota(
-        jnp.int32, (blk, 2 * w_size), 1).astype(jnp.float32)
     acc = jnp.zeros((blk, cout), jnp.float32)
-    for k in range(k3):
-        l = lrows_ref[k, :].astype(jnp.float32)               # [blk]
-        # float-compare one-hot (i1 tiles trip Mosaic relayouts — same
-        # pattern as _ccl_kernel); miss/out-of-window is -1 → all-zero row
-        oh = (jnp.abs(iota - l[:, None]) < 0.5).astype(jnp.bfloat16)
-        # the tap group's single [2W, cin] window: local ∈ [0, 2W)
-        pair = win[slot, k // (k3 // ngrp)]
-        g = jnp.dot(oh, pair.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)       # [blk, cin]
-        acc = acc + jnp.dot(g.astype(jnp.bfloat16), w_ref[k],
-                            preferred_element_type=jnp.float32)
+    if not hier:
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (blk, 2 * w_size), 1).astype(jnp.float32)
+        for k in range(k3):
+            l = lrows_ref[k, :].astype(jnp.float32)           # [blk]
+            # float-compare one-hot (i1 tiles trip Mosaic relayouts — same
+            # pattern as _ccl_kernel); miss/out-of-window → all-zero row
+            oh = (jnp.abs(iota - l[:, None]) < 0.5).astype(jnp.bfloat16)
+            # the tap group's single [2W, cin] window: local ∈ [0, 2W)
+            pair = win[slot, k // (k3 // ngrp)]
+            g = jnp.dot(oh, pair.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)   # [blk, cin]
+            acc = acc + jnp.dot(g.astype(jnp.bfloat16), w_ref[k],
+                                preferred_element_type=jnp.float32)
+    else:
+        # HIERARCHICAL one-hot: the kernel is VPU-bound on building the
+        # [blk, 2W] one-hot (~10 µs/block at 2W=384 vs ~5 µs of MXU).
+        # Factor local = lh·128 + lr: one [blk, 128] low one-hot + nh
+        # chunk matmuls + a per-row chunk SELECT — same MXU MACs, ~½ the
+        # VPU element ops.
+        ch = 128
+        nh = wrows // ch
+        iota_r = jax.lax.broadcasted_iota(
+            jnp.int32, (blk, ch), 1).astype(jnp.float32)
+        for k in range(k3):
+            l = lrows_ref[k, :]                               # [blk] i32
+            lh = l // ch                                      # miss −1 → −1
+            lrf = (l - lh * ch).astype(jnp.float32)
+            lo = (jnp.abs(iota_r - lrf[:, None]) < 0.5).astype(jnp.bfloat16)
+            pair = win[slot, k // (k3 // ngrp)]               # [nh·128, cin]
+            parts = [
+                jnp.dot(lo, pair[h * ch:(h + 1) * ch].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+                for h in range(nh)
+            ]
+            g = parts[nh - 1]
+            for h in range(nh - 2, -1, -1):
+                g = jnp.where((lh == h)[:, None], parts[h], g)
+            # miss (lh = −1) selected parts[0]'s garbage row — zero it
+            g = g * (l >= 0).astype(jnp.float32)[:, None]
+            acc = acc + jnp.dot(g.astype(jnp.bfloat16), w_ref[k],
+                                preferred_element_type=jnp.float32)
     out_ref[:] = acc
 
 
@@ -381,12 +413,19 @@ def window_gather_conv(
     wt = (tables if tables is not None
           else build_window_tables(rows, cap, blk, w_size, resid, ngrp))
     starts16, lrows = wt.starts16, wt.lrows
-    # cin == 64 takes the LANE-PACKED kernel: two consecutive slots per
-    # 128-lane row — half the DMA bytes and half the one-hot MACs of
-    # padding 64 → 128 (the stage-0 convs are the biggest active set).
-    # Requires an even slot count (cap % blk == 0 upstream) and w_size ≥ 32
-    # packed rows so the 16-row DMA alignment has room.
-    pack2 = cin == 64 and cap % 2 == 0 and w_size >= 32
+    # cin == 64 lane-packed kernel (two consecutive slots per 128-lane row —
+    # half the DMA bytes and half the one-hot MACs of padding 64 → 128).
+    # DEFAULT OFF — MEASURED LOSS on the real v5e (2026-08-20,
+    # tools/microbench_window_conv.py, resid=64, within-run A/B): stage-0
+    # subm 64→64 packed 4.12 ms vs 3.18 padded (r4) and ~= the XLA gather
+    # 4.07; strided 64→128 packed 3.22 vs 2.41 padded (r4). The per-tap
+    # [blk,128]→[blk,64] lane extracts + blend relayout on the VPU eat more
+    # than the halved MACs save (the kernel is VPU-one-hot-bound, not
+    # MXU/DMA-bound — ~10 µs/block of iota-compare at 2W=384). Keep the
+    # code for a future Mosaic with cheap sub-lane selects; enable via
+    # FSF_WINDOW_PACK2=1 for A/B only.
+    pack2 = (cin == 64 and cap % 2 == 0 and w_size >= 32
+             and os.environ.get("FSF_WINDOW_PACK2", "0") not in ("", "0"))
     if pack2:
         pad = max(2 * w_size - cap, 0) + 2
         feats_z = jnp.concatenate(
@@ -405,14 +444,19 @@ def window_gather_conv(
             feats = jnp.pad(feats, ((0, 0), (0, cin_p - cin)))
             w = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, 0)))
             cin = cin_p
+        hier = os.environ.get("FSF_WINDOW_HIER", "0") not in ("", "0")
+        # hier windows are DMA'd in whole 128-row chunks (the low one-hot's
+        # width); the pad rows keep chunk tails finite (never selected)
+        wrows = -(-2 * w_size // 128) * 128 if hier else 2 * w_size
         feats_z = jnp.concatenate(
             [feats,
-             jnp.zeros((max(2 * w_size - cap, 0) + 1, cin), feats.dtype)])
+             jnp.zeros((max(2 * w_size - cap, 0) + (wrows - 2 * w_size) + 1,
+                        cin), feats.dtype)])
         feats_dma = feats_z
         kern = functools.partial(
             _wg_conv_kernel, w_size=w_size, blk=blk, cin=cin, cout=cout,
-            k3=k3, ngrp=ngrp)
-        win_shape = (2, ngrp, 2 * w_size, cin)
+            k3=k3, ngrp=ngrp, hier=hier, wrows=wrows)
+        win_shape = (2, ngrp, wrows, cin)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nblk,),

@@ -100,6 +100,41 @@ def main():
                lg, of, xy, v, cfg, 0.0, batch_idx=b, batch_size=1),
            logits, offsets, xyz, valid, batch_idx)
 
+    # --- RoI-pair compaction scale (refine stage: [131k*2] mask -> 32768)
+    n2 = 131072 * 2
+    cap2 = 32768
+    mask2 = jnp.asarray(rng.random(n2) < 0.08)
+
+    def big_sort(m):
+        order = jnp.argsort(~m, stable=True)
+        idx = order[:cap2]
+        ov = m[idx]
+        return jnp.where(ov, idx, 0).astype(jnp.int32), ov
+
+    def big_search(m):
+        csum = cumsum_marks(m)
+        targets = jnp.arange(1, cap2 + 1, dtype=csum.dtype)
+        idx = jnp.searchsorted(csum, targets, side="left")
+        ov = idx < n2
+        idx = jnp.where(ov, idx, 0).astype(jnp.int32)
+        return idx, ov & m[idx]
+
+    def big_rankscatter(m):
+        incl = cumsum_marks(m)
+        rank = incl - 1
+        ok = m & (rank < cap2)
+        slot = jnp.where(ok, rank, cap2)
+        idx = (jnp.zeros((cap2 + 1,), jnp.int32)
+               .at[slot].max(jnp.arange(n2, dtype=jnp.int32)))[:cap2]
+        ov = jnp.arange(cap2, dtype=incl.dtype) < incl[-1]
+        return jnp.where(ov, idx, 0), ov
+
+    timeit("roi-scale masked_gather argsort", lambda m: big_sort(m)[0], mask2)
+    timeit("roi-scale masked_gather searchsorted",
+           lambda m: big_search(m)[0], mask2)
+    timeit("roi-scale masked_gather rank-scatter",
+           lambda m: big_rankscatter(m)[0], mask2)
+
 
 if __name__ == "__main__":
     main()
