@@ -126,11 +126,10 @@ def ccl_sweeps_pallas(
 
 def _wg_conv_kernel(feats_hbm, lrows_ref, starts_ref, w_ref, out_ref,
                     win, sems, *, w_size: int, blk: int, cin: int,
-                    cout: int, k3: int, ngrp: int, hier: bool = False,
-                    wrows: int = 0):
+                    cout: int, k3: int, ngrp: int):
     i = pl.program_id(0)
     nblk = pl.num_programs(0)
-    wrows = wrows or 2 * w_size
+    wrows = 2 * w_size
 
     # starts are stored PRE-DIVIDED by 16 and re-multiplied here: Mosaic
     # must *prove* the dynamic slice start divisible by the (8,128) row
@@ -164,49 +163,28 @@ def _wg_conv_kernel(feats_hbm, lrows_ref, starts_ref, w_ref, out_ref,
     for g in range(ngrp):
         copy(i, slot, g).wait()
 
+    # NEGATIVE RESULT (r5, don't retry): a hierarchical one-hot (low
+    # [blk,128] one-hot + per-chunk matmuls + row-level chunk select) was
+    # built to attack the VPU one-hot cost — Mosaic rejects the i1
+    # minor-dim broadcast the select needs ("insertion of minor dim that is
+    # not a no-op only supported for 32-bit types"), and every i1-free
+    # select formulation (arithmetic blend, broadcast-compare) costs 2-3
+    # full [blk, cin] VPU passes per chunk, handing back the saving. The
+    # flat one-hot (~4 ALU ops/element over [blk, 2W]) stands.
     acc = jnp.zeros((blk, cout), jnp.float32)
-    if not hier:
-        iota = jax.lax.broadcasted_iota(
-            jnp.int32, (blk, 2 * w_size), 1).astype(jnp.float32)
-        for k in range(k3):
-            l = lrows_ref[k, :].astype(jnp.float32)           # [blk]
-            # float-compare one-hot (i1 tiles trip Mosaic relayouts — same
-            # pattern as _ccl_kernel); miss/out-of-window → all-zero row
-            oh = (jnp.abs(iota - l[:, None]) < 0.5).astype(jnp.bfloat16)
-            # the tap group's single [2W, cin] window: local ∈ [0, 2W)
-            pair = win[slot, k // (k3 // ngrp)]
-            g = jnp.dot(oh, pair.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)   # [blk, cin]
-            acc = acc + jnp.dot(g.astype(jnp.bfloat16), w_ref[k],
-                                preferred_element_type=jnp.float32)
-    else:
-        # HIERARCHICAL one-hot: the kernel is VPU-bound on building the
-        # [blk, 2W] one-hot (~10 µs/block at 2W=384 vs ~5 µs of MXU).
-        # Factor local = lh·128 + lr: one [blk, 128] low one-hot + nh
-        # chunk matmuls + a per-row chunk SELECT — same MXU MACs, ~½ the
-        # VPU element ops.
-        ch = 128
-        nh = wrows // ch
-        iota_r = jax.lax.broadcasted_iota(
-            jnp.int32, (blk, ch), 1).astype(jnp.float32)
-        for k in range(k3):
-            l = lrows_ref[k, :]                               # [blk] i32
-            lh = l // ch                                      # miss −1 → −1
-            lrf = (l - lh * ch).astype(jnp.float32)
-            lo = (jnp.abs(iota_r - lrf[:, None]) < 0.5).astype(jnp.bfloat16)
-            pair = win[slot, k // (k3 // ngrp)]               # [nh·128, cin]
-            parts = [
-                jnp.dot(lo, pair[h * ch:(h + 1) * ch].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-                for h in range(nh)
-            ]
-            g = parts[nh - 1]
-            for h in range(nh - 2, -1, -1):
-                g = jnp.where((lh == h)[:, None], parts[h], g)
-            # miss (lh = −1) selected parts[0]'s garbage row — zero it
-            g = g * (l >= 0).astype(jnp.float32)[:, None]
-            acc = acc + jnp.dot(g.astype(jnp.bfloat16), w_ref[k],
-                                preferred_element_type=jnp.float32)
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (blk, 2 * w_size), 1).astype(jnp.float32)
+    for k in range(k3):
+        l = lrows_ref[k, :].astype(jnp.float32)           # [blk]
+        # float-compare one-hot (i1 tiles trip Mosaic relayouts — same
+        # pattern as _ccl_kernel); miss/out-of-window → all-zero row
+        oh = (jnp.abs(iota - l[:, None]) < 0.5).astype(jnp.bfloat16)
+        # the tap group's single [2W, cin] window: local ∈ [0, 2W)
+        pair = win[slot, k // (k3 // ngrp)]
+        g = jnp.dot(oh, pair.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)   # [blk, cin]
+        acc = acc + jnp.dot(g.astype(jnp.bfloat16), w_ref[k],
+                            preferred_element_type=jnp.float32)
     out_ref[:] = acc
 
 
@@ -444,19 +422,14 @@ def window_gather_conv(
             feats = jnp.pad(feats, ((0, 0), (0, cin_p - cin)))
             w = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, 0)))
             cin = cin_p
-        hier = os.environ.get("FSF_WINDOW_HIER", "0") not in ("", "0")
-        # hier windows are DMA'd in whole 128-row chunks (the low one-hot's
-        # width); the pad rows keep chunk tails finite (never selected)
-        wrows = -(-2 * w_size // 128) * 128 if hier else 2 * w_size
         feats_z = jnp.concatenate(
             [feats,
-             jnp.zeros((max(2 * w_size - cap, 0) + (wrows - 2 * w_size) + 1,
-                        cin), feats.dtype)])
+             jnp.zeros((max(2 * w_size - cap, 0) + 1, cin), feats.dtype)])
         feats_dma = feats_z
         kern = functools.partial(
             _wg_conv_kernel, w_size=w_size, blk=blk, cin=cin, cout=cout,
-            k3=k3, ngrp=ngrp, hier=hier, wrows=wrows)
-        win_shape = (2, ngrp, wrows, cin)
+            k3=k3, ngrp=ngrp)
+        win_shape = (2, ngrp, 2 * w_size, cin)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nblk,),

@@ -59,6 +59,7 @@ def eval_map(model, vars_, scenes, batch_size, class_names, fwd=None):
         res = model.apply(vars_, out, batch_size, method=FSF.get_bboxes)
         recs.extend(records_from_bboxes(res, gt, batch_size))
     m = evaluate_detections(recs, len(class_names), class_names)
+    eval_map.last_metrics = m  # per-class AP/TP table for diagnosis
     return m["mAP"], fwd
 
 
@@ -138,9 +139,14 @@ def main():
                 model, ev, train_scenes, batch, cfg.fsd.class_names, fwd)
             m_ho, fwd = eval_map(
                 model, ev, held_scenes, batch, cfg.fsd.class_names, fwd)
+            ho_per_class = {
+                c: round(a["AP"], 4)
+                for c, a in eval_map.last_metrics.get(
+                    "per_class", {}).items()}
             loss_v = curve[-1]["loss"] if curve else None
             curve.append({"step": i, "train_mAP": round(m_tr, 4),
                           "heldout_mAP": round(m_ho, 4), "loss": loss_v,
+                          "heldout_per_class": ho_per_class,
                           "t": round(time.time() - t0, 1)})
             print(json.dumps(curve[-1]), flush=True)
         if i == args.steps:
