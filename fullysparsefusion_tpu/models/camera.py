@@ -27,7 +27,7 @@ from flax import linen as nn
 from flax import struct
 
 from ..ops.segment import SegmentInfo, unique_segments, segment_sum
-from ..ops.projection import points_in_mask
+from ..ops.projection import points_in_mask_compact
 from ..utils.gather import masked_gather
 from .layers import MLP
 from .sir import SIR
@@ -73,9 +73,13 @@ class FrustumSelection(NamedTuple):
 def gather_point_instances(
     xyz_noaug: jax.Array, batch_idx: jax.Array, valid: jax.Array, cam: CameraData
 ) -> Tuple[jax.Array, jax.Array]:
-    """([N, cams, cls] instance ids, [N, cams, cls] 2D scores); both 0
-    outside masks / for invalid points."""
-    ids, scores = points_in_mask(xyz_noaug, batch_idx, cam.lidar2img, cam.masks)
+    """([N, K, cls] instance ids, [N, K, cls] 2D scores); both 0 outside
+    masks / for invalid points. K = 2 compacted camera slots (lowest-index
+    valid cams) — exact for surround rigs whose camera overlap is pairwise
+    (ops.projection.points_in_mask_compact; every downstream consumer is
+    camera-axis agnostic)."""
+    ids, scores = points_in_mask_compact(
+        xyz_noaug, batch_idx, cam.lidar2img, cam.masks)
     keep = valid[:, None, None]
     return ids * keep, scores * keep
 

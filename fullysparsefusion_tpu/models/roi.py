@@ -191,8 +191,6 @@ def extract_roi_points_grid(
     after query generation is shallow; overflow drops highest-index RoIs,
     the same preference order as the scan's top-2).
     """
-    from ..ops.segment import ingroup_indices
-
     q = rois.shape[0]
     k = rois_per_point
     assert k <= cands_per_cell, (
@@ -201,6 +199,30 @@ def extract_roi_points_grid(
     extra = jnp.asarray(extra_wlh, xyz.dtype)
     nx = int(np.ceil((bev_hi[0] - bev_lo[0]) / cell))
     ny = int(np.ceil((bev_hi[1] - bev_lo[1]) / cell))
+
+    ptab = _roi_grid_raster(
+        rois, roi_batch, roi_valid, extra, nx, ny, batch_size, cell,
+        window, cands_per_cell, bev_lo,
+    )
+    member_ok, top_idx, n_inside = _roi_grid_lookup(
+        xyz, point_batch, point_valid, ptab, rois.shape[0], extra, nx, ny,
+        batch_size, cell, cands_per_cell, k, bev_lo,
+    )
+    return _finalize_pairs(
+        xyz, rois, member_ok, top_idx, extra, capacity, k,
+        dropped=n_inside - jnp.sum(member_ok.astype(jnp.int32)),
+    )
+
+
+def _roi_grid_raster(
+    rois, roi_batch, roi_valid, extra, nx, ny, batch_size, cell,
+    window, cands_per_cell, bev_lo,
+):
+    """Stage 1: rasterize RoIs onto the BEV cell grid → packed parameter
+    table [ncells+1, kc·8] (kc candidates' 7 box params + roi index)."""
+    from ..ops.segment import ingroup_indices
+
+    q = rois.shape[0]
     ncells = batch_size * nx * ny
     kc = cands_per_cell
 
@@ -218,8 +240,8 @@ def extract_roi_points_grid(
     gy = ccy[:, None] + oy[None]
     in_grid = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
     # prune cells beyond the RoI's circumradius (+ half-cell diagonal)
-    cwx = bev_lo[0] + (gx.astype(xyz.dtype) + 0.5) * cell
-    cwy = bev_lo[1] + (gy.astype(xyz.dtype) + 0.5) * cell
+    cwx = bev_lo[0] + (gx.astype(rois.dtype) + 0.5) * cell
+    cwy = bev_lo[1] + (gy.astype(rois.dtype) + 0.5) * cell
     margin = rad[:, None] + cell * 0.7072
     near = (jnp.abs(cwx - ctr[:, None, 0]) <= margin) & (
         jnp.abs(cwy - ctr[:, None, 1]) <= margin
@@ -229,39 +251,84 @@ def extract_roi_points_grid(
     cell_id = jnp.where(pair_ok, cell_id, ncells)              # sentinel
 
     flat_cell = cell_id.reshape(-1)
-    flat_roi = jnp.broadcast_to(
-        jnp.arange(q, dtype=jnp.int32)[:, None], cell_id.shape
-    ).reshape(-1)
     flat_ok = pair_ok.reshape(-1)
-    # rank within cell: pairs are roi-major ascending, and ingroup_indices'
-    # stable sort preserves that order — rank r == r-th lowest roi index
-    rank = ingroup_indices(flat_cell, flat_ok)
-    keep = flat_ok & (rank >= 0) & (rank < kc)
-    slot = jnp.where(keep, flat_cell * kc + rank, ncells * kc)
     # u16 table: the [N, kc] candidate gather cost scales with row bytes
     # (same measured fact as ops/sparse_conv._table_dtype)
     tdt = jnp.uint16 if q < 65536 else jnp.int32
     table = jnp.full((ncells * kc + 1,), q, tdt)
-    table = table.at[slot].set(flat_roi.astype(tdt), mode="drop")
+    roi_bits = max(int(np.ceil(np.log2(max(q, 2)))), 1)
+    if (ncells + 1) << roi_bits < 2**31:
+        # rank-within-cell via ONE key-only sort: pack (cell, roi) into a
+        # single int32 key (roi in the low bits — ascending roi within each
+        # cell comes out of the sort itself), mark cell boundaries, subtract
+        # each run's start. Kills the argsort's iota payload, the 155k-row
+        # inverse scatter, and the rank gather that ingroup_indices pays
+        # (measured at bench scale — see docs/performance.md round-5).
+        flat_roi_b = jax.lax.broadcasted_iota(
+            jnp.int32, cell_id.shape, 0).reshape(-1)
+        key = jnp.where(
+            flat_ok, (flat_cell << roi_bits) | flat_roi_b,
+            jnp.int32(2**31 - 1))
+        (ks,) = jax.lax.sort((key,))
+        ok_s = ks != 2**31 - 1
+        cell_s = ks >> roi_bits
+        roi_s = ks & ((1 << roi_bits) - 1)
+        pos = jnp.arange(ks.shape[0], dtype=jnp.int32)
+        first = jnp.concatenate(
+            [ok_s[:1], (cell_s[1:] != cell_s[:-1]) & ok_s[1:]])
+        start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(first, pos, 0))
+        rank_s = pos - start
+        keep = ok_s & (rank_s < kc)
+        slot = jnp.where(keep, cell_s * kc + rank_s, ncells * kc)
+        table = table.at[slot].set(roi_s.astype(tdt), mode="drop")
+    else:
+        # packed key would overflow int32 — generic rank path
+        flat_roi = jnp.broadcast_to(
+            jnp.arange(q, dtype=jnp.int32)[:, None], cell_id.shape
+        ).reshape(-1)
+        # rank within cell: pairs are roi-major ascending, and
+        # ingroup_indices' stable sort preserves that order — rank r ==
+        # r-th lowest roi index
+        rank = ingroup_indices(flat_cell, flat_ok)
+        keep = flat_ok & (rank >= 0) & (rank < kc)
+        slot = jnp.where(keep, flat_cell * kc + rank, ncells * kc)
+        table = table.at[slot].set(flat_roi.astype(tdt), mode="drop")
 
     # Expand the index table into a PARAMETER table: each cell's row holds
-    # its kc candidates' (7 box params + roi index) contiguously, so the
-    # per-point lookup is ONE kc*32-byte row gather instead of kc tiny
-    # 28-byte roi gathers. Measured (v5e, N=131k, kc=8): the per-candidate
+    # its kc candidates' (6 box params + cos/sin + roi index) contiguously,
+    # so the per-point lookup is ONE kc*36-byte row gather instead of kc
+    # tiny roi gathers. Measured (v5e, N=131k, kc=8): the per-candidate
     # roi gather alone was 12.45 ms (1M rows, row-rate bound); the whole
     # lookup+test drops 17.6 -> 4.7 ms with the packed row. The expansion
-    # itself gathers only ncells*kc (~23k) rows once per call.
+    # itself gathers only ncells*kc (~23k) rows once per call. Yaw is
+    # stored PRE-EVALUATED as (cos, sin): the rotated inside-test otherwise
+    # runs sin+cos over [N, kc] on the VPU — transcendentals per (point,
+    # candidate) instead of per roi.
     aug = jnp.concatenate(
         [
-            rois[:, :7].astype(jnp.float32),
+            rois[:, :6].astype(jnp.float32),
+            jnp.cos(rois[:, 6:7]).astype(jnp.float32),
+            jnp.sin(rois[:, 6:7]).astype(jnp.float32),
             jnp.arange(q, dtype=jnp.float32)[:, None],
         ],
         axis=1,
     )
-    aug = jnp.concatenate([aug, jnp.full((1, 8), float(q), jnp.float32)])
-    ptab = aug[table.astype(jnp.int32).clip(0, q)]             # [ncells*kc+1, 8]
-    ptab = ptab[: ncells * kc].reshape(ncells, kc * 8)
+    aug = jnp.concatenate([aug, jnp.full((1, 9), float(q), jnp.float32)])
+    ptab = aug[table.astype(jnp.int32).clip(0, q)]             # [ncells*kc+1, 9]
+    ptab = ptab[: ncells * kc].reshape(ncells, kc * 9)
     ptab = jnp.concatenate([ptab, jnp.tile(aug[q:], (1, kc))])  # [ncells+1, ·]
+    return ptab
+
+
+def _roi_grid_lookup(
+    xyz, point_batch, point_valid, ptab, q, extra, nx, ny, batch_size,
+    cell, cands_per_cell, k, bev_lo,
+):
+    """Stage 2: per-point candidate row gather + exact rotated test + top-k.
+    Returns (member_ok [N,k], top_idx [N,k], n_inside [])."""
+    ncells = batch_size * nx * ny
+    kc = cands_per_cell
 
     # per-point candidate lookup + exact rotated test
     pcx = jnp.floor((xyz[:, 0] - bev_lo[0]) / cell).astype(jnp.int32)
@@ -269,16 +336,25 @@ def extract_roi_points_grid(
     p_in = point_valid & (pcx >= 0) & (pcx < nx) & (pcy >= 0) & (pcy < ny)
     pcell = (point_batch * ny + pcy) * nx + pcx
     pcell = jnp.where(p_in, pcell, ncells)
-    row = ptab[pcell].reshape(xyz.shape[0], kc, 8)             # [N, kc, 8]
-    cand = row[..., 7].astype(jnp.int32)                       # exact for q < 2^24
+    row = ptab[pcell].reshape(xyz.shape[0], kc, 9)             # [N, kc, 9]
+    cand = row[..., 8].astype(jnp.int32)                       # exact for q < 2^24
     cand_ok = (cand < q) & p_in[:, None]
     safe = cand.clip(0, q - 1)
-    r = row[..., :7].astype(xyz.dtype)                         # [N, kc, 7]
-    rel = xyz[:, None, :] - gravity_center(r.reshape(-1, r.shape[-1])).reshape(
-        xyz.shape[0], kc, 3
+    r = row.astype(xyz.dtype)                                  # [N, kc, 9]
+    # gravity center inline (z + dz/2); rotation by −yaw from the packed
+    # (cos, sin) — no per-(point, candidate) transcendentals
+    rel_x = xyz[:, None, 0] - r[..., 0]
+    rel_y = xyz[:, None, 1] - r[..., 1]
+    rel_z = xyz[:, None, 2] - (r[..., 2] + r[..., 5] * 0.5)
+    cy, sy = r[..., 6], r[..., 7]
+    loc_x = rel_x * cy + rel_y * sy
+    loc_y = -rel_x * sy + rel_y * cy
+    half = (r[..., 3:6] + extra) * 0.5
+    inside = (
+        (jnp.abs(loc_x) <= half[..., 0])
+        & (jnp.abs(loc_y) <= half[..., 1])
+        & (jnp.abs(rel_z) <= half[..., 2])
     )
-    local = rotate_points_z(rel, -r[..., 6])
-    inside = jnp.all(jnp.abs(local) <= (r[..., 3:6] + extra) * 0.5, axis=-1)
     inside &= cand_ok
 
     neg = jnp.int32(-q - 2)
@@ -291,11 +367,7 @@ def extract_roi_points_grid(
         lambda i: jnp.sum(jnp.where(cols == i[:, None], safe, 0), axis=1),
     )
     member_ok = top_scores > neg
-    return _finalize_pairs(
-        xyz, rois, member_ok, top_idx, extra, capacity, k,
-        dropped=jnp.sum(inside.astype(jnp.int32))
-        - jnp.sum(member_ok.astype(jnp.int32)),
-    )
+    return member_ok, top_idx, jnp.sum(inside.astype(jnp.int32))
 
 
 class FullySparseBboxHead(nn.Module):

@@ -86,3 +86,69 @@ def points_in_mask(
     ids = (val & 0xFF).astype(jnp.int32)
     scores = (val >> 8).astype(jnp.float32) * (1.0 / 255.0)
     return ids, scores
+
+
+def points_in_mask_compact(
+    xyz: jax.Array,         # [N, 3]
+    batch_idx: jax.Array,   # [N]
+    lidar2img: jax.Array,   # [B, num_cams, 4, 4]
+    masks: jax.Array,       # [B, num_cams, H, W, num_cls] uint16 packed
+    k: int = 2,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`points_in_mask` restricted to the ≤ ``k`` cameras each point
+    actually projects into: ([N, k, cls] ids, [N, k, cls] scores).
+
+    The full form issues N·num_cams mask-row gathers, but a surround rig's
+    point can only project into adjacent-camera overlap — with C cameras
+    yaw-spaced 360/C apart, a point lies in cams i and i+1 iff its azimuth
+    is within FOV/2 of both headings, and three headings would need
+    2·(360/C) < FOV (false for nuScenes 6×64° and AV2 7×*; the reference's
+    own overlap duplication is pairwise, FSF.py:260-297 double_overlap_pts).
+    So gathering the k=2 lowest-index valid cameras per point is exact, at
+    k/num_cams of the gather rows — the full-cam gather measured 12.55 ms
+    vs ~4 ms compact at bench scale (tools/profile_fsd.py mask_sub).
+    Downstream consumers (select_frustum_points' flat top-k,
+    per_point_class_scores' best-cam select) are camera-count agnostic.
+    """
+    b, num_cams, img_h, img_w, num_cls = masks.shape
+    n = xyz.shape[0]
+    pts4 = jnp.concatenate([xyz, jnp.ones((n, 1), xyz.dtype)], axis=1)
+    mats = lidar2img[batch_idx]                      # [N, C, 4, 4]
+    proj = jnp.einsum("nd,nckd->nck", pts4, mats)    # [N, C, 4]
+    depth = proj[..., 2]
+    z = jnp.clip(depth, 1e-5, 1e5)
+    u = proj[..., 0] / z
+    v = proj[..., 1] / z
+    px = jnp.floor(u).astype(jnp.int32)
+    py = jnp.floor(v).astype(jnp.int32)
+    valid = (
+        (depth > 1e-3)
+        & (px >= 0) & (px < img_w)
+        & (py >= 0) & (py < img_h)
+    )  # [N, C]
+    px = jnp.clip(px, 0, img_w - 1)
+    py = jnp.clip(py, 0, img_h - 1)
+    base = batch_idx[:, None] * num_cams + jnp.arange(num_cams)[None, :]
+    idx = (base * img_h + py) * img_w + px           # [N, C]
+
+    # pick the k lowest-index VALID cams per point: k argmax/mask passes over
+    # a [N, C] score (same pattern as models/roi._topk_maxmask — lax.top_k
+    # is slower for tiny k); one-hot column selects, no take_along_axis
+    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (n, num_cams), 1)
+    score = jnp.where(valid, num_cams - cam_iota, 0)  # 0 = invalid
+    idx_sel, ok_sel = [], []
+    for _ in range(k):
+        c = jnp.argmax(score, axis=1)                         # [N]
+        oh = cam_iota == c[:, None]
+        ok_sel.append(jnp.max(score, axis=1) > 0)
+        idx_sel.append(jnp.sum(jnp.where(oh, idx, 0), axis=1))
+        score = jnp.where(oh, 0, score)
+    idx_k = jnp.stack(idx_sel, axis=1)               # [N, k]
+    ok_k = jnp.stack(ok_sel, axis=1)                 # [N, k]
+
+    flat_masks = masks.reshape(-1, num_cls)
+    val = flat_masks[jnp.where(ok_k, idx_k, 0)]      # [N, k, cls] uint16
+    val = jnp.where(ok_k[:, :, None], val, 0)
+    ids = (val & 0xFF).astype(jnp.int32)
+    scores = (val >> 8).astype(jnp.float32) * (1.0 / 255.0)
+    return ids, scores

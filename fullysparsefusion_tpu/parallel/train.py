@@ -90,16 +90,122 @@ def make_optimizer(
     weight_decay: float = 0.01,
     grad_clip_norm: float = 35.0,
     lr_mult_rules: Optional[Mapping[str, float]] = None,
+    flatten: bool = False,
 ) -> optax.GradientTransformation:
-    tx = optax.chain(
-        optax.clip_by_global_norm(grad_clip_norm),
-        optax.adamw(
+    # ``flatten=True`` runs clip+AdamW over ONE packed array instead of
+    # ~700 per-leaf element-wise kernels. MEASURED standalone on v5e
+    # (2026-08-20): 12.9 ms at 43M params, compiles and runs fine. DEFAULT
+    # OFF: inside the fused FSF train step (grad + update in one jit) the
+    # TPU compile OOMs on an XLA-fabricated interleaved ``f32[38M, 2]``
+    # temp whose (8,128) tiling pads the 2-wide minor dim 64× (19.4 GB,
+    # `reshape.596`). The interleave survives stacked-moment storage AND
+    # optimization_barrier around every packed array — it is a whole-graph
+    # fusion-pass pathology, not an operand-layout choice we control. The
+    # unflattened chain costs ~5 ms/step (step 237.6 − grad 232.4,
+    # profile_train 2026-08-20) — nothing to win here. Parked.
+    # ``lr_mult_transform`` needs the tree structure → outside the wrapper.
+    if flatten:
+        inner = packed_flatten(fused_clip_adamw(
             cyclic_lr_schedule(base_lr, total_steps),
-            b1=0.9, b2=0.999, weight_decay=weight_decay,
-        ),
-        lr_mult_transform(lr_mult_rules or {}),
-    )
-    return tx
+            grad_clip_norm, weight_decay))
+    else:
+        inner = optax.chain(
+            optax.clip_by_global_norm(grad_clip_norm),
+            optax.adamw(
+                cyclic_lr_schedule(base_lr, total_steps),
+                b1=0.9, b2=0.999, weight_decay=weight_decay,
+            ),
+        )
+    return optax.chain(inner, lr_mult_transform(lr_mult_rules or {}))
+
+
+def fused_clip_adamw(
+    lr_schedule,
+    grad_clip_norm: float,
+    weight_decay: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """clip_by_global_norm + AdamW in one transformation over a SINGLE
+    packed array (see :func:`packed_flatten`), bit-matching the optax chain
+    (tests/test_train.py::test_fused_clip_adamw_matches_optax).
+
+    The two moments live in one stacked ``mv [2, rows, lane]`` array — XLA
+    then updates them as one element-wise op over the stack instead of
+    horizontally fusing two separate [n]-shaped updates into an interleaved
+    [n, 2] temp (whose TPU tiling pads 2 → 128 lanes: 19.4 GB at FSF's 38M
+    params, an OOM at compile).
+    """
+
+    def init_fn(params):
+        return (jnp.zeros((), jnp.int32),
+                jnp.zeros((2,) + params.shape, jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        count, mv = state
+        g = updates.astype(jnp.float32)
+        gnorm = jnp.sqrt(jnp.sum(g * g))
+        g = g * jnp.minimum(1.0, grad_clip_norm / jnp.maximum(gnorm, 1e-12))
+        beta = jnp.asarray([b1, b2], jnp.float32)[:, None, None]
+        mv = beta * mv + (1.0 - beta) * jnp.stack([g, g * g])
+        count = count + 1
+        cf = count.astype(jnp.float32)
+        mhat = mv[0] / (1.0 - b1 ** cf)
+        vhat = mv[1] / (1.0 - b2 ** cf)
+        lr = lr_schedule(count - 1)
+        u = -lr * (mhat / (jnp.sqrt(vhat) + eps)
+                   + (0.0 if params is None else weight_decay * params))
+        return u, (count, mv)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def packed_flatten(
+    inner: optax.GradientTransformation, lane: int = 128
+) -> optax.GradientTransformation:
+    """Run ``inner`` on a single lane-aligned [ceil(n/lane), lane] array.
+
+    Like ``optax.flatten`` but 2-D: TPU tiles the last two dims (8, 128), so
+    a flat param vector must keep a 128-wide minor dim or any reshape XLA
+    derives from it risks a 64×-padded layout (measured: optax.flatten's
+    1-D form produced a 19.4 GB [38M, 2] allocation at FSF scale). Zero
+    padding is inert for clip (adds 0 to the norm) and AdamW (moments stay
+    0, update stays 0) and is sliced off on unflatten.
+    """
+
+    def _flat(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        v = jnp.concatenate([l.reshape(-1).astype(jnp.float32) for l in leaves])
+        n = v.shape[0]
+        rows = -(-n // lane)
+        return jnp.pad(v, (0, rows * lane - n)).reshape(rows, lane)
+
+    def _unflat(tree_like, packed):
+        leaves, treedef = jax.tree_util.tree_flatten(tree_like)
+        flat = packed.reshape(-1)
+        out, off = [], 0
+        for l in leaves:
+            out.append(flat[off:off + l.size].reshape(l.shape).astype(l.dtype))
+            off += l.size
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def init_fn(params):
+        return inner.init(_flat(params))
+
+    def update_fn(updates, state, params=None):
+        # optimization_barrier: materialize each packed array SEPARATELY.
+        # Without it XLA horizontally fuses the two concatenation chains
+        # (packed grads + packed params) into one interleaved [n, 2] temp
+        # whose (8,128) tiling pads 2 → 128 lanes — 19.4 GB at FSF scale,
+        # an OOM at compile (same pathology optax.flatten hit).
+        pf = (None if params is None
+              else jax.lax.optimization_barrier(_flat(params)))
+        uf, new_state = inner.update(
+            jax.lax.optimization_barrier(_flat(updates)), state, pf)
+        return _unflat(updates, jax.lax.optimization_barrier(uf)), new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def total_loss(losses: Dict[str, jax.Array]) -> jax.Array:

@@ -50,6 +50,35 @@ def test_mask_grouping_consistency():
     assert (valid_flags == 1).all()
 
 
+def test_points_in_mask_compact_matches_full():
+    """The K=2 compacted camera lookup must carry exactly the nonzero
+    (id, score) set of the full [N, cams, cls] lookup — valid for surround
+    rigs with pairwise camera overlap (points_in_mask_compact docstring)."""
+    from fullysparsefusion_tpu.ops.projection import (
+        points_in_mask, points_in_mask_compact)
+
+    cfg = tiny_fsf_config()
+    pb, gt = make_scene(seed=3, n_cap=cfg.caps.points, max_gt=cfg.caps.max_gt)
+    cam = make_camera_data(pb, gt, num_classes=cfg.num_classes)
+    ids_f, sc_f = points_in_mask(pb.xyz, pb.batch_idx, cam.lidar2img, cam.masks)
+    ids_c, sc_c = points_in_mask_compact(
+        pb.xyz, pb.batch_idx, cam.lidar2img, cam.masks)
+    idf, scf = np.asarray(ids_f), np.asarray(sc_f)
+    idc, scc = np.asarray(ids_c), np.asarray(sc_c)
+    assert idc.shape[1] == 2
+    # per point: the multiset of (cls, id, score) nonzero entries matches
+    for p in range(0, idf.shape[0], 97):
+        full = sorted(
+            (c, idf[p, a, c], scf[p, a, c])
+            for a in range(idf.shape[1]) for c in range(idf.shape[2])
+            if idf[p, a, c] > 0)
+        comp = sorted(
+            (c, idc[p, a, c], scc[p, a, c])
+            for a in range(idc.shape[1]) for c in range(idc.shape[2])
+            if idc[p, a, c] > 0)
+        assert full == comp, f"point {p}: {full} != {comp}"
+
+
 def test_fsf_forward_and_detections(fsf_setup):
     cfg, pb, gt, cam, model, vars_ = fsf_setup
     out = model.apply(vars_, pb, cam, 2, None, None, False)

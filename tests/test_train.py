@@ -32,6 +32,39 @@ def test_cyclic_lr_shape():
     assert lrs[1] > lrs[0] and lrs[3] < lrs[2]
 
 
+def test_fused_clip_adamw_matches_optax():
+    """The packed fused optimizer (flatten=True default) must match the
+    per-leaf optax chain it replaces (clip 35 + AdamW + cyclic LR) to
+    float32 roundoff over several steps."""
+    from fullysparsefusion_tpu.parallel.train import make_optimizer
+
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 6)
+    params = {
+        "a": jax.random.normal(ks[0], (7, 5)),
+        "b": {"w": jax.random.normal(ks[1], (3, 11)),
+              "bias": jax.random.normal(ks[2], (11,))},
+    }
+    tx_f = make_optimizer(base_lr=1e-3, total_steps=20, flatten=True)
+    tx_r = make_optimizer(base_lr=1e-3, total_steps=20, flatten=False)
+    sf, sr = tx_f.init(params), tx_r.init(params)
+    pf = pr = params
+    for i in range(4):
+        g = jax.tree_util.tree_map(
+            lambda x, k=ks[3 + i % 3]: jax.random.normal(
+                jax.random.fold_in(k, i), x.shape) * (10.0 if i == 1 else 0.1),
+            params)  # i==1 exercises the clip branch (norm > 35)
+        uf, sf = tx_f.update(g, sf, pf)
+        ur, sr = tx_r.update(g, sr, pr)
+        import optax
+        pf = optax.apply_updates(pf, uf)
+        pr = optax.apply_updates(pr, ur)
+    for lf, lr_ in zip(jax.tree_util.tree_leaves(pf),
+                       jax.tree_util.tree_leaves(pr)):
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lr_), rtol=2e-5, atol=2e-7)
+
+
 def test_train_step_reduces_loss():
     cfg = tiny_fsd_config()
     pb, gt = make_scene(seed=0, n_cap=cfg.caps.points, max_gt=cfg.caps.max_gt)

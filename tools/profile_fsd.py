@@ -34,8 +34,10 @@ PARTS = (
     "ccl",           # cluster_all_groups (voxelize-per-group + batched CCL)
     "sir",           # SIR backbone + head over materialized foreground
     "roi_extract",   # grid-hash RoI membership at bench query counts
+    "roi_sub",       # roi_extract internals: raster / lookup / finalize
     "refine",        # one full cascade refine stage (≈ full − fusion)
     "maskband",      # gather_point_instances + class scores + enhance + head
+    "mask_sub",      # maskband internals: mask gather / cls scores / mlps
 )
 
 
@@ -206,7 +208,7 @@ def main():
                     "cls_logits"][0],
                 vars_, fg, cseg, cluster_xyz, cluster_valid, iters=args.iters)
 
-    need_fusion = {"roi_extract", "refine"} & set(parts)
+    need_fusion = {"roi_extract", "roi_sub", "refine"} & set(parts)
     if need_fusion:
         def upto_fusion(vars_, pb, cam):
             return model.apply(
@@ -266,6 +268,47 @@ def main():
                 lambda *a: roi_extract(*a)[1],
                 points[:, :3], pb.batch_idx, pt_valid, boxes, q_batch,
                 q_valid, iters=args.iters)
+
+    if "roi_sub" in parts:
+        import numpy as _np
+        from fullysparsefusion_tpu.models.roi import (
+            _roi_grid_raster, _roi_grid_lookup, _finalize_pairs)
+        pcr = f.segmentor.point_cloud_range
+        bev_lo, bev_hi, cell = (pcr[0], pcr[1]), (pcr[3], pcr[4]), 2.0
+        nx = int(_np.ceil((bev_hi[0] - bev_lo[0]) / cell))
+        ny = int(_np.ceil((bev_hi[1] - bev_lo[1]) / cell))
+        extra = jnp.asarray(cfg.extra_wlh, jnp.float32)
+        xyz = points[:, :3]
+        q = boxes.shape[0]
+
+        def raster(boxes, q_batch, q_valid):
+            return _roi_grid_raster(
+                boxes[:, :7], q_batch, q_valid, extra, nx, ny, batch, cell,
+                11, 8, bev_lo)
+
+        _timeit("roi_sub:raster", lambda *a: raster(*a),
+                boxes, q_batch, q_valid, iters=args.iters)
+        ptab = jax.jit(raster)(boxes, q_batch, q_valid)
+        np.asarray(ptab.reshape(-1)[:1])
+
+        def lookup(xyz, pbatch, pvalid, ptab):
+            return _roi_grid_lookup(
+                xyz, pbatch, pvalid, ptab, q, extra, nx, ny, batch, cell,
+                8, cfg.rois_per_point, bev_lo)
+
+        _timeit("roi_sub:lookup", lambda *a: lookup(*a)[1],
+                xyz, pb.batch_idx, pt_valid, ptab, iters=args.iters)
+        member_ok, top_idx, _ = jax.jit(lookup)(
+            xyz, pb.batch_idx, pt_valid, ptab)
+        np.asarray(top_idx.reshape(-1)[:1])
+
+        def final(xyz, boxes, member_ok, top_idx):
+            return _finalize_pairs(
+                xyz, boxes[:, :7], member_ok, top_idx, extra,
+                f.caps.roi_points, cfg.rois_per_point)
+
+        _timeit("roi_sub:finalize", lambda *a: final(*a).geometry,
+                xyz, boxes, member_ok, top_idx, iters=args.iters)
 
     if "refine" in parts:
         res_query = jnp.zeros((centers.shape[0], cfg.embed_dims))
@@ -334,6 +377,49 @@ def main():
         _timeit("maskband(gather+enhance+head)",
                 lambda *a: maskband(*a)["seg_logits"],
                 vars_, pb, cam, seg_feats_m, pt_valid_m, iters=args.iters)
+
+    if "mask_sub" in parts:
+        from fullysparsefusion_tpu.models.camera import (
+            gather_point_instances, per_point_class_scores)
+
+        def core_only2(vars_, pb):
+            return model.apply(
+                vars_, PointBatch(points=pb.points[:, :-3],
+                                  batch_idx=pb.batch_idx, valid=pb.valid),
+                batch,
+                method=lambda m, pbi, b: m.seg_core(pbi, False, b))
+
+        seg_feats_s, pt_valid_s = jax.jit(core_only2)(vars_, pb)
+        np.asarray(pt_valid_s[:1])
+
+        def mgather(pb, cam, pt_valid):
+            noaug_xyz = pb.points[:, -3:]
+            return gather_point_instances(
+                noaug_xyz, pb.batch_idx, pt_valid, cam)
+
+        _timeit("mask_sub:gather(points_in_mask)",
+                lambda *a: mgather(*a)[0], pb, cam, pt_valid_s,
+                iters=args.iters)
+        obj_ids_s, obj_scores_s = jax.jit(mgather)(pb, cam, pt_valid_s)
+        np.asarray(obj_ids_s.reshape(-1)[:1])
+
+        _timeit("mask_sub:cls(per_point_class_scores)",
+                lambda a, b0: per_point_class_scores(a, b0),
+                obj_ids_s, obj_scores_s, iters=args.iters)
+        cls2d_s = jax.jit(per_point_class_scores)(obj_ids_s, obj_scores_s)
+        np.asarray(cls2d_s.reshape(-1)[:1])
+
+        def mlps(vars_, seg_feats, cls2d, pt_valid):
+            def run(m, seg_feats, cls2d, pt_valid):
+                sf = seg_feats + m.seg_enhance_mlp(cls2d, pt_valid, False)
+                sf = sf * pt_valid[:, None].astype(sf.dtype)
+                return m.seg_head(sf, pt_valid, False)
+            return model.apply(
+                vars_, seg_feats, cls2d, pt_valid, method=run)
+
+        _timeit("mask_sub:mlps(enhance+head)",
+                lambda *a: mlps(*a)["seg_logits"],
+                vars_, seg_feats_s, cls2d_s, pt_valid_s, iters=args.iters)
 
 
 if __name__ == "__main__":
