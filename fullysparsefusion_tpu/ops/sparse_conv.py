@@ -488,6 +488,13 @@ def _conv_dispatch(feats, w, rows, cdtype, identity_tap: Optional[int],
                 "straddling tap-group blocks > resid=" + str(resid), n=n),
             lambda n: None, wt.n_grp)
     fc = feats.astype(cdtype)
+    if os.environ.get("FSF_WINDOW_NOCOND", "0") not in ("", "0"):
+        # A/B-only: drop the exact-fallback cond (INEXACT on straddle
+        # overflow) to measure what the cond itself costs under jax.grad
+        return window_gather_conv(
+            fc, rows, w_c, w_size=w_size, blk=blk, resid=resid,
+            interpret=_WINDOW_ON_CPU and jax.default_backend() != "tpu",
+            tables=wt)
     return jax.lax.cond(
         wt.n_grp <= resid,
         lambda: window_gather_conv(
