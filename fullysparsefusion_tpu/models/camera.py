@@ -37,24 +37,47 @@ from .sir import SIR
 class CameraData:
     """Pre-computed 2D instance data (reference LoadMaskFromFiles output).
 
-    masks: [B, cams, H, W, cls] uint16 PACKED, CHANNEL-LAST — value =
+    masks: [B·cams·H·W, cls] uint16 PACKED, CHANNEL-LAST, FLAT — value =
            id | score_u8 << 8 with id = anno row + 1, 0 = bg
            (data/masks.py pack_mask_scores). Class planes are contiguous
            per pixel so the per-point lookup row-gathers all classes at
            once, and the instance score rides the same gather
-           (ops/projection.py).
+           (ops/projection.py). Stored pre-flattened (build from the
+           [B, cams, H, W, cls] planes via :meth:`build`): an in-jit
+           ``reshape(-1, cls)`` of the 5-D texture repacked 86 MB of tiled
+           layout EVERY call — measured ~6 ms at batch 2
+           (tools/microbench_mask_gather.py layout probe) — while a
+           leading-dims-only reshape of the flat form is free.
     anno:  [B, A, 9] — [x1,y1,x2,y2, score, category, cam_id, obj_id, valid]
            sorted by obj_id (loading.py:301-339 reorg_anno_multi_cls).
     lidar2img: [B, cams, 4, 4].
+    img_h/img_w: static mask plane dims (the array no longer carries them).
     """
 
     masks: jax.Array
     anno: jax.Array
     lidar2img: jax.Array
+    img_h: int = struct.field(pytree_node=False, default=0)
+    img_w: int = struct.field(pytree_node=False, default=0)
+
+    @classmethod
+    def build(cls, masks_planes, anno, lidar2img) -> "CameraData":
+        """From [B, cams, H, W, num_cls] packed planes (host-side)."""
+        b, cams, h, w, ncls = masks_planes.shape
+        return cls(
+            masks=jnp.asarray(masks_planes).reshape(-1, ncls),
+            anno=jnp.asarray(anno),
+            lidar2img=jnp.asarray(lidar2img),
+            img_h=int(h), img_w=int(w),
+        )
 
     @property
     def num_cams(self) -> int:
-        return self.masks.shape[1]
+        return self.lidar2img.shape[1]
+
+    @property
+    def num_cls(self) -> int:
+        return self.masks.shape[-1]
 
     @property
     def max_anno(self) -> int:
@@ -79,7 +102,7 @@ def gather_point_instances(
     (ops.projection.points_in_mask_compact; every downstream consumer is
     camera-axis agnostic)."""
     ids, scores = points_in_mask_compact(
-        xyz_noaug, batch_idx, cam.lidar2img, cam.masks)
+        xyz_noaug, batch_idx, cam.lidar2img, cam.masks, cam.img_h, cam.img_w)
     keep = valid[:, None, None]
     return ids * keep, scores * keep
 
@@ -229,7 +252,7 @@ class FrustumBranch(nn.Module):
         )(pts, feats, f_cluster, seg, f_valid, train)
 
         preds_2d = object_preds_2d(cam, obj_batch, obj_row, self.num_classes)
-        img_h, img_w = cam.masks.shape[2:4]
+        img_h, img_w = cam.img_h, cam.img_w
         enc = encode_preds_2d(preds_2d, img_w, img_h, self.num_classes)
         img_feat = MLP(tuple(self.encode_2d_dims), norm="ln", act="gelu")(
             enc, seg.seg_valid, train

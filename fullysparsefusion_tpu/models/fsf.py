@@ -265,7 +265,7 @@ class FSF(nn.Module):
         f = c.fsd
         if no_aug_gt is None:
             no_aug_gt = gt
-        img_h, img_w = cam.masks.shape[2:4]
+        img_h, img_w = cam.img_h, cam.img_w
         seg_out = result["seg_out"]
         losses = segmentor_loss(
             seg_out, *segmentor_targets(pb_inner, gt, f.num_classes), f.segmentor

@@ -92,7 +92,9 @@ def points_in_mask_compact(
     xyz: jax.Array,         # [N, 3]
     batch_idx: jax.Array,   # [N]
     lidar2img: jax.Array,   # [B, num_cams, 4, 4]
-    masks: jax.Array,       # [B, num_cams, H, W, num_cls] uint16 packed
+    masks_flat: jax.Array,  # [B·num_cams·H·W, num_cls] uint16 packed FLAT
+    img_h: int,
+    img_w: int,
     k: int = 2,
 ) -> Tuple[jax.Array, jax.Array]:
     """:func:`points_in_mask` restricted to the ≤ ``k`` cameras each point
@@ -109,45 +111,55 @@ def points_in_mask_compact(
     vs ~4 ms compact at bench scale (tools/profile_fsd.py mask_sub).
     Downstream consumers (select_frustum_points' flat top-k,
     per_point_class_scores' best-cam select) are camera-count agnostic.
+
+    TWO layout rules this implementation exists for (measured,
+    tools/microbench_mask_gather.py, v5e 2026-08-20):
+      * the projection runs as THREE [N, 4] @ [4, B·C] matmuls (u·z, v·z,
+        z rows of every batch's matrices at once, own-batch selected by
+        masking) — the per-point ``lidar2img[batch_idx]`` form materializes
+        an [N, C, 4, 4] operand whose (4, 4) minor dims tile-pad 64× and
+        cost 12.7 ms at batch 2 vs ~2 at batch 1 (where the 1-row gather
+        folds into a broadcast);
+      * ``masks_flat`` must be PRE-flattened — see CameraData.masks.
     """
-    b, num_cams, img_h, img_w, num_cls = masks.shape
+    bc = lidar2img.shape[0] * lidar2img.shape[1]
+    num_cams = lidar2img.shape[1]
+    num_cls = masks_flat.shape[-1]
     n = xyz.shape[0]
     pts4 = jnp.concatenate([xyz, jnp.ones((n, 1), xyz.dtype)], axis=1)
-    mats = lidar2img[batch_idx]                      # [N, C, 4, 4]
-    proj = jnp.einsum("nd,nckd->nck", pts4, mats)    # [N, C, 4]
-    depth = proj[..., 2]
+    m_rows = lidar2img.reshape(bc, 4, 4)             # [BC, row, d]
+    proj_u = pts4 @ m_rows[:, 0, :].T                # [N, BC] (u·z)
+    proj_v = pts4 @ m_rows[:, 1, :].T
+    depth = pts4 @ m_rows[:, 2, :].T
     z = jnp.clip(depth, 1e-5, 1e5)
-    u = proj[..., 0] / z
-    v = proj[..., 1] / z
-    px = jnp.floor(u).astype(jnp.int32)
-    py = jnp.floor(v).astype(jnp.int32)
+    px = jnp.floor(proj_u / z).astype(jnp.int32)
+    py = jnp.floor(proj_v / z).astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, bc), 1)
+    own = (col // num_cams) == batch_idx[:, None]
     valid = (
-        (depth > 1e-3)
+        own & (depth > 1e-3)
         & (px >= 0) & (px < img_w)
         & (py >= 0) & (py < img_h)
-    )  # [N, C]
+    )  # [N, BC]
     px = jnp.clip(px, 0, img_w - 1)
     py = jnp.clip(py, 0, img_h - 1)
-    base = batch_idx[:, None] * num_cams + jnp.arange(num_cams)[None, :]
-    idx = (base * img_h + py) * img_w + px           # [N, C]
+    idx = (col * img_h + py) * img_w + px            # [N, BC] flat pixel
 
     # pick the k lowest-index VALID cams per point: k argmax/mask passes over
-    # a [N, C] score (same pattern as models/roi._topk_maxmask — lax.top_k
+    # a [N, BC] score (same pattern as models/roi._topk_maxmask — lax.top_k
     # is slower for tiny k); one-hot column selects, no take_along_axis
-    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (n, num_cams), 1)
-    score = jnp.where(valid, num_cams - cam_iota, 0)  # 0 = invalid
+    score = jnp.where(valid, bc - col, 0)            # 0 = invalid
     idx_sel, ok_sel = [], []
     for _ in range(k):
         c = jnp.argmax(score, axis=1)                         # [N]
-        oh = cam_iota == c[:, None]
+        oh = col == c[:, None]
         ok_sel.append(jnp.max(score, axis=1) > 0)
         idx_sel.append(jnp.sum(jnp.where(oh, idx, 0), axis=1))
         score = jnp.where(oh, 0, score)
     idx_k = jnp.stack(idx_sel, axis=1)               # [N, k]
     ok_k = jnp.stack(ok_sel, axis=1)                 # [N, k]
 
-    flat_masks = masks.reshape(-1, num_cls)
-    val = flat_masks[jnp.where(ok_k, idx_k, 0)]      # [N, k, cls] uint16
+    val = masks_flat[jnp.where(ok_k, idx_k, 0)]      # [N, k, cls] uint16
     val = jnp.where(ok_k[:, :, None], val, 0)
     ids = (val & 0xFF).astype(jnp.int32)
     scores = (val >> 8).astype(jnp.float32) * (1.0 / 255.0)

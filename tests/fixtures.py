@@ -242,8 +242,5 @@ def make_camera_data(
             row += 1
     from fullysparsefusion_tpu.data.masks import pack_mask_scores
 
-    return CameraData(
-        masks=jnp.asarray(pack_mask_scores(masks, anno)),
-        anno=jnp.asarray(anno),
-        lidar2img=jnp.asarray(lidar2img),
-    )
+    return CameraData.build(
+        pack_mask_scores(masks, anno), anno, lidar2img)

@@ -60,9 +60,13 @@ def test_points_in_mask_compact_matches_full():
     cfg = tiny_fsf_config()
     pb, gt = make_scene(seed=3, n_cap=cfg.caps.points, max_gt=cfg.caps.max_gt)
     cam = make_camera_data(pb, gt, num_classes=cfg.num_classes)
-    ids_f, sc_f = points_in_mask(pb.xyz, pb.batch_idx, cam.lidar2img, cam.masks)
+    masks_5d = np.asarray(cam.masks).reshape(
+        cam.lidar2img.shape[0], cam.num_cams, cam.img_h, cam.img_w,
+        cam.num_cls)
+    ids_f, sc_f = points_in_mask(
+        pb.xyz, pb.batch_idx, cam.lidar2img, jnp.asarray(masks_5d))
     ids_c, sc_c = points_in_mask_compact(
-        pb.xyz, pb.batch_idx, cam.lidar2img, cam.masks)
+        pb.xyz, pb.batch_idx, cam.lidar2img, cam.masks, cam.img_h, cam.img_w)
     idf, scf = np.asarray(ids_f), np.asarray(sc_f)
     idc, scc = np.asarray(ids_c), np.asarray(sc_c)
     assert idc.shape[1] == 2

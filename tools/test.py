@@ -152,11 +152,8 @@ def main():
             l2i[:, :2] /= ds  # masks are downsampled
             from fullysparsefusion_tpu.data.masks import pack_mask_scores
 
-            cam = CameraData(
-                masks=jnp.asarray(pack_mask_scores(masks, anno)[None]),
-                anno=jnp.asarray(anno[None]),
-                lidar2img=jnp.asarray(l2i[None]),
-            )
+            cam = CameraData.build(
+                pack_mask_scores(masks, anno)[None], anno[None], l2i[None])
         else:
             cam = None
         pb = PointBatch(
@@ -268,7 +265,10 @@ def main():
         if cam is not None:
             dump_camera_assignment(
                 os.path.join(args.vis_dir, f"{s['token']}_cam0.png"),
-                np.asarray(cam.masks[0, 0]), title=f"{s['token']} cam0 masks",
+                np.asarray(cam.masks).reshape(
+                    -1, cam.num_cams, cam.img_h, cam.img_w,
+                    cam.num_cls)[0, 0],
+                title=f"{s['token']} cam0 masks",
             )
         n_vis += 1
 

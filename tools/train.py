@@ -258,13 +258,9 @@ def main():
                         l2i_l.append(l2i)
                     from fullysparsefusion_tpu.data.masks import pack_mask_scores
 
-                    cam = CameraData(
-                        masks=jnp.asarray(
-                            pack_mask_scores(np.stack(masks_l), np.stack(annos_l))
-                        ),
-                        anno=jnp.asarray(np.stack(annos_l)),
-                        lidar2img=jnp.asarray(np.stack(l2i_l)),
-                    )
+                    cam = CameraData.build(
+                        pack_mask_scores(np.stack(masks_l), np.stack(annos_l)),
+                        np.stack(annos_l), np.stack(l2i_l))
                     yield pb, cam, gt, no_aug
 
     it = batch_iter()
