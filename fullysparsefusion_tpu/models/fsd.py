@@ -353,6 +353,12 @@ class FSDQueryBranch(nn.Module):
             pb.xyz, pb.batch_idx, valid,
             c.pre_voxel_size, c.segmentor.point_cloud_range, c.caps.prevox,
         )
+        # NEGATIVE RESULT (r5, don't retry): fusing these five segment_means
+        # into ONE concatenated [N, ~160] segment_sum measured a wash in
+        # isolation (prevox 7.99 → 8.20 ms) but a +7 ms FULL-BENCH loss
+        # (92.0 → 99.0 ms/frame, bisected 2026-08-20) — the 84 MB concat
+        # materialization displaces XLA's fusion of the per-key reduces into
+        # their consumers. Keep the per-key form.
         red = {
             k: segment_mean(v, pvseg.seg_id, c.caps.prevox, counts=pvseg.counts)
             for k, v in data.items()

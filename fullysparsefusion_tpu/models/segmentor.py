@@ -109,12 +109,14 @@ class VoteSegHead(nn.Module):
         n_out = c.num_classes + 1
         seg_logits = nn.Dense(n_out, use_bias=True)(hidden)
         vote_preds = nn.Dense(n_out * 3, use_bias=True)(hidden)
-        offsets = decode_vote_targets(vote_preds.reshape(-1, n_out, 3))
+        # decode is elementwise (p·|p|) — apply on the 2-D layout directly,
+        # no [P, C+1, 3] reshape round-trip (tiny minor dims tile-pad)
+        offsets = decode_vote_targets(vote_preds)
         return dict(
             seg_feats=seg_feats,
             seg_logits=seg_logits,
             vote_preds=vote_preds,
-            offsets=offsets.reshape(-1, n_out * 3),
+            offsets=offsets,
             valid=valid,
         )
 
