@@ -91,6 +91,9 @@ def main():
     ap.add_argument("--eval-every", type=int, default=50)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--scene-classes", type=int, default=3)
+    ap.add_argument("--train-eval-scenes", type=int, default=8,
+                    help="train-pool scenes per train-mAP eval (full-pool "
+                         "evals dominate wall time at 48 scenes)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -136,7 +139,8 @@ def main():
         if i % args.eval_every == 0:
             ev = {"params": state.params, "batch_stats": state.batch_stats}
             m_tr, fwd = eval_map(
-                model, ev, train_scenes, batch, cfg.fsd.class_names, fwd)
+                model, ev, train_scenes[:args.train_eval_scenes], batch,
+                cfg.fsd.class_names, fwd)
             m_ho, fwd = eval_map(
                 model, ev, held_scenes, batch, cfg.fsd.class_names, fwd)
             ho_per_class = {
